@@ -1,0 +1,93 @@
+"""Batch T2V inference CLI (ref: scripts/evaluation/inference.py +
+ddp_wrapper.py).
+
+Plain VideoCrafter text-to-video batch sampling over a prompt list, sharded
+contiguously across processes (inference.py:71-77). Multi-host launch uses
+`jax.distributed` instead of the reference's NCCL DDP wrapper.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from moca_tpu.config import load_model_config
+from moca_tpu.io.video import save_video
+from moca_tpu.models.convert import convert_checkpoint
+from moca_tpu.models.latent_diffusion import LatentDiffusion
+from moca_tpu.models.tokenizer import load_tokenizer
+from moca_tpu.pipelines.t2v import T2VPipeline
+from moca_tpu.utils.logging import get_logger
+
+log = get_logger("moca_tpu.inference")
+
+
+def build_parser():
+    p = argparse.ArgumentParser("batch T2V inference")
+    p.add_argument("--ckpt_path", type=str, required=True)
+    p.add_argument("--config", type=str,
+                   default="configs/inference_t2v_512_v2.0.yaml")
+    p.add_argument("--prompt_file", type=str, required=True,
+                   help="one prompt per line")
+    p.add_argument("--savedir", type=str, default="results/t2v")
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--ddim_eta", type=float, default=1.0)
+    p.add_argument("--unconditional_guidance_scale", type=float, default=12.0)
+    p.add_argument("--height", type=int, default=320)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--fps", type=int, default=28)
+    p.add_argument("--savefps", type=int, default=10)
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--precision", type=str, default="bf16",
+                   choices=["bf16", "fp32"])
+    p.add_argument("--bpe_path", type=str, default=None)
+    p.add_argument("--freeinit_iters", type=int, default=0,
+                   help="FreeInit noise-reinit iterations (0 = off)")
+    return p
+
+
+def main(args):
+    cfg = load_model_config(args.config, dtype=args.precision)
+    unet_p, vae_p, clip_p = convert_checkpoint(
+        args.ckpt_path, cfg.unet, cfg.vae, cfg.clip)
+    model = LatentDiffusion(cfg.unet, cfg.vae, cfg.clip, unet_p, vae_p,
+                            clip_p, scale_factor=cfg.diffusion.scale_factor)
+    pipe = T2VPipeline.build(
+        model, load_tokenizer(args.bpe_path), num_steps=args.ddim_steps,
+        eta=args.ddim_eta, use_scale=cfg.diffusion.use_scale,
+        guidance_scale=args.unconditional_guidance_scale, fps=args.fps)
+
+    with open(args.prompt_file) as f:
+        prompts = [l.strip() for l in f if l.strip()]
+    # contiguous shard per process (inference.py:71-77)
+    per = -(-len(prompts) // args.num_processes)
+    shard = prompts[args.rank * per : (args.rank + 1) * per]
+
+    os.makedirs(args.savedir, exist_ok=True)
+    for i, prompt in enumerate(shard):
+        t0 = time.time()
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed),
+                                 args.rank * per + i)
+        if args.freeinit_iters > 1:
+            video = pipe.sample_with_freeinit(
+                prompt, key, iterations=args.freeinit_iters,
+                height=args.height, width=args.width, frames=args.frames)
+        else:
+            video = pipe(prompt, key, height=args.height, width=args.width,
+                         frames=args.frames)
+        name = prompt[:100].replace("/", "_")
+        save_video([np.asarray(v) for v in video],
+                   os.path.join(args.savedir, f"{name}.mp4"),
+                   fps=args.savefps)
+        log.info("[%d/%d] %.1fs %s", i + 1, len(shard), time.time() - t0, name)
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -1,0 +1,131 @@
+"""Config system: the reference's YAML surface, mapped to moca_tpu builders.
+
+The reference instantiates its model tree purely from OmegaConf YAML
+`target:` dotted paths (ref: utils/utils.py:27-42 instantiate_from_config;
+configs/inference_t2v_512_v2.0.yaml). We preserve that YAML schema verbatim —
+the same file drives this framework — but resolve the known `target` strings
+to TPU-native config dataclasses instead of importing torch modules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import yaml
+
+from moca_tpu.models.clip_text import CLIPTextConfig
+from moca_tpu.models.unet3d import UNetConfig
+from moca_tpu.models.vae import VAEConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionParams:
+    """LatentDiffusion-level knobs (yaml model.params, ddpm3d.py:329-405)."""
+
+    timesteps: int = 1000
+    linear_start: float = 0.00085
+    linear_end: float = 0.012
+    beta_schedule: str = "linear"
+    scale_factor: float = 0.18215
+    use_scale: bool = True
+    scale_b: float = 0.7
+    uncond_type: str = "empty_seq"
+    conditioning_key: str = "crossattn"
+    image_size: Tuple[int, int] = (40, 64)
+    channels: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    diffusion: DiffusionParams
+    unet: UNetConfig
+    vae: VAEConfig
+    clip: CLIPTextConfig
+
+
+def _dtype_of(name: Optional[str]):
+    if name in (None, "float32", "fp32"):
+        return jnp.float32
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown dtype {name}")
+
+
+def _unet_from_yaml(p: Dict[str, Any], dtype) -> UNetConfig:
+    return UNetConfig(
+        in_channels=p.get("in_channels", 4),
+        out_channels=p.get("out_channels", 4),
+        model_channels=p.get("model_channels", 320),
+        num_res_blocks=p.get("num_res_blocks", 2),
+        attention_resolutions=tuple(p.get("attention_resolutions", (4, 2, 1))),
+        channel_mult=tuple(p.get("channel_mult", (1, 2, 4, 4))),
+        num_head_channels=p.get("num_head_channels", 64),
+        transformer_depth=p.get("transformer_depth", 1),
+        context_dim=p.get("context_dim", 1024),
+        use_linear=p.get("use_linear", True),
+        temporal_conv=p.get("temporal_conv", True),
+        tempspatial_aware=p.get("tempspatial_aware", False),
+        temporal_attention=p.get("temporal_attention", True),
+        temporal_selfatt_only=p.get("temporal_selfatt_only", True),
+        use_relative_position=p.get("use_relative_position", False),
+        use_causal_attention=p.get("use_causal_attention", False),
+        temporal_length=p.get("temporal_length", 16),
+        addition_attention=p.get("addition_attention", False),
+        use_image_attention=p.get("use_image_attention", False),
+        fps_cond=p.get("fps_cond", False),
+        dtype=dtype,
+    )
+
+
+def _vae_from_yaml(p: Dict[str, Any], dtype) -> VAEConfig:
+    dd = p.get("ddconfig", {})
+    return VAEConfig(
+        double_z=dd.get("double_z", True),
+        z_channels=dd.get("z_channels", 4),
+        resolution=dd.get("resolution", 512),
+        in_channels=dd.get("in_channels", 3),
+        out_ch=dd.get("out_ch", 3),
+        ch=dd.get("ch", 128),
+        ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
+        num_res_blocks=dd.get("num_res_blocks", 2),
+        attn_resolutions=tuple(dd.get("attn_resolutions", ())),
+        embed_dim=p.get("embed_dim", 4),
+        dtype=dtype,
+    )
+
+
+def _clip_from_yaml(p: Dict[str, Any], dtype) -> CLIPTextConfig:
+    layer = p.get("layer", "last")
+    return CLIPTextConfig(penultimate=(layer == "penultimate"), dtype=dtype)
+
+
+def load_model_config(path: str, dtype: Optional[str] = None) -> ModelConfig:
+    """Parse a reference-format YAML (e.g. configs/inference_t2v_512_v2.0.yaml)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return model_config_from_dict(raw, dtype=dtype)
+
+
+def model_config_from_dict(raw: Dict[str, Any],
+                           dtype: Optional[str] = None) -> ModelConfig:
+    dt = _dtype_of(dtype)
+    mp = raw["model"]["params"]
+    diffusion = DiffusionParams(
+        timesteps=mp.get("timesteps", 1000),
+        linear_start=mp.get("linear_start", 0.00085),
+        linear_end=mp.get("linear_end", 0.012),
+        beta_schedule=mp.get("beta_schedule", "linear"),
+        scale_factor=mp.get("scale_factor", 0.18215),
+        use_scale=mp.get("use_scale", False),
+        scale_b=mp.get("scale_b", 0.3),
+        uncond_type=mp.get("uncond_type", "empty_seq"),
+        conditioning_key=mp.get("conditioning_key", "crossattn"),
+        image_size=tuple(mp.get("image_size", (40, 64))),
+        channels=mp.get("channels", 4),
+    )
+    unet = _unet_from_yaml(mp["unet_config"]["params"], dt)
+    vae = _vae_from_yaml(mp["first_stage_config"]["params"], dt)
+    clip = _clip_from_yaml(mp["cond_stage_config"].get("params", {}), dt)
+    return ModelConfig(diffusion=diffusion, unet=unet, vae=vae, clip=clip)

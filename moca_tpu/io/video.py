@@ -1,0 +1,117 @@
+"""Host-side video/image IO (outside jit, CPU only).
+
+Replaces the reference's decord/torchvision/imageio stack
+(ref: scripts/evaluation/funcs.py:538-640) with imageio/PIL; the uint8↔float
+conversions go through the optional C++ fastio extension (native/) when
+built, else numpy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+try:
+    from moca_tpu.io import fastio as _fastio
+    _HAVE_FASTIO = _fastio.available()
+except Exception:  # pragma: no cover
+    _fastio = None
+    _HAVE_FASTIO = False
+
+
+def tensor_to_uint8(frame: np.ndarray) -> np.ndarray:
+    """[-1,1] float [H,W,3] → uint8 (funcs.py:630-640 tensor2image)."""
+    if _HAVE_FASTIO:
+        return _fastio.float_to_uint8(np.ascontiguousarray(frame, np.float32))
+    x = np.clip(frame.astype(np.float32), -1.0, 1.0)
+    return ((x + 1.0) * 127.5).astype(np.uint8)
+
+
+def uint8_to_tensor(img: np.ndarray) -> np.ndarray:
+    """uint8 → [-1,1] float32 (funcs.py:565)."""
+    if _HAVE_FASTIO:
+        return _fastio.uint8_to_float(np.ascontiguousarray(img, np.uint8))
+    return (img.astype(np.float32) / 255.0 - 0.5) * 2.0
+
+
+def save_video(frames: Sequence[np.ndarray], path: str, fps: int = 10):
+    """frames: list of [-1,1] float or uint8 [H,W,3] → mp4/gif by extension.
+
+    mp4 uses cv2.VideoWriter (this image ships no imageio-ffmpeg backend);
+    gif uses imageio/Pillow.
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imgs = [f if f.dtype == np.uint8 else tensor_to_uint8(f) for f in frames]
+    if path.endswith(".gif"):
+        import imageio
+
+        imageio.mimsave(path, imgs, duration=int(1000 / fps))
+        return
+    import cv2
+
+    h, w = imgs[0].shape[:2]
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not writer.isOpened():
+        raise RuntimeError(f"cv2.VideoWriter could not open {path}")
+    for img in imgs:
+        writer.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    writer.release()
+
+
+def save_gif(frames: Sequence[np.ndarray], path: str, fps: int = 10):
+    save_video(frames, path if path.endswith(".gif") else path + ".gif", fps)
+
+
+def load_conditioning_image(path: str, latent_hw: Tuple[int, int]) -> np.ndarray:
+    """Concept image at LATENT resolution [h, w, 4] RGBA in [0, 1].
+
+    Matches videocrafter_main.py:86-98: resize+center-crop to (H/8, W/8),
+    ToTensor (0..1 range — note: NOT normalized to [-1,1]).
+    """
+    h, w = latent_hw
+    img = Image.open(path).convert("RGBA")
+    # resize then center crop (transforms.Resize + CenterCrop semantics)
+    sw, sh = img.size
+    scale = max(h / sh, w / sw)
+    img = img.resize((max(w, round(sw * scale)), max(h, round(sh * scale))),
+                     Image.BILINEAR)
+    left = (img.size[0] - w) // 2
+    top = (img.size[1] - h) // 2
+    img = img.crop((left, top, left + w, top + h))
+    return np.asarray(img, np.float32) / 255.0
+
+
+def load_video_frames(path: str, size: Optional[Tuple[int, int]] = None,
+                      num_frames: int = -1, stride: int = 1) -> np.ndarray:
+    """mp4 → [T, H, W, 3] float32 in [-1,1] (decord replacement,
+    funcs.py:538-574; pads by repeating the last frame when short)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise OSError(f"could not open video {path}")
+    frames: List[np.ndarray] = []
+    i = -1
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        i += 1
+        if i % stride:
+            continue
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if size is not None:
+            frame = np.asarray(
+                Image.fromarray(frame).resize((size[1], size[0]),
+                                              Image.BILINEAR))
+        frames.append(frame)
+        if num_frames > 0 and len(frames) >= num_frames:
+            break
+    cap.release()
+    if num_frames > 0 and len(frames) < num_frames:
+        frames += [frames[-1]] * (num_frames - len(frames))
+    return uint8_to_tensor(np.stack(frames))

@@ -1,0 +1,145 @@
+"""LatentDiffusion bundle: U-Net + VAE + CLIP text encoder + schedule glue.
+
+TPU-first equivalent of the reference's `LatentDiffusion` wrapper
+(ref: lvdm/models/ddpm3d.py:327-662 + DiffusionWrapper :696-763): a plain
+dataclass of apply-functions and parameter pytrees — no framework object
+graph, everything jit-friendly.
+
+Layout convention: video tensors are channels-last [B, T, H, W, C]
+(the reference uses [B, C, T, H, W]); IO converts at the edges.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from moca_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+from moca_tpu.models.unet3d import UNetConfig, UNet3D
+from moca_tpu.models.vae import AutoencoderKL, VAEConfig
+
+
+@dataclasses.dataclass
+class LatentDiffusion:
+    unet_cfg: UNetConfig
+    vae_cfg: VAEConfig
+    clip_cfg: CLIPTextConfig
+    unet_params: Any
+    vae_params: Any
+    clip_params: Any
+    scale_factor: float = 0.18215  # ddpm3d.py scale_factor (yaml:17)
+
+    def __post_init__(self):
+        self._unet = UNet3D(self.unet_cfg)
+        self._vae = AutoencoderKL(self.vae_cfg)
+        self._clip = CLIPTextEncoder(self.clip_cfg)
+
+    # -- denoiser ----------------------------------------------------------
+    def apply_unet(self, params, x, t_frames, context, fps=16):
+        """eps prediction; x [B,T,h,w,C], t_frames [B,T], context [B,L,D].
+
+        Multiple context tensors (e.g. the conditioned_prompt appended in
+        videocrafter_main.py:210-211) should be concatenated on the token
+        axis by the caller — DiffusionWrapper's crossattn path
+        (ddpm3d.py:710-712) does `torch.cat(c_crossattn, 1)`.
+        """
+        return self._unet.apply(params, x, t_frames, context, fps=fps)
+
+    # -- text --------------------------------------------------------------
+    def encode_tokens(self, tokens) -> jnp.ndarray:
+        """[B,77] int32 → [B,77,width] (get_learned_conditioning,
+        ddpm3d.py:445-456)."""
+        return self._clip.apply(self.clip_params, jnp.asarray(tokens))
+
+    # -- first stage -------------------------------------------------------
+    def encode_frames(
+        self, frames: jnp.ndarray, rng: Optional[jax.Array] = None,
+        sample: bool = True,
+    ) -> jnp.ndarray:
+        """[B,T,H,W,3] in [-1,1] → latents [B,T,h,w,4] × scale_factor.
+
+        Replaces the reference's per-frame python loop
+        (encode_first_stage_2DAE, ddpm3d.py:485-490) with one batched call.
+        """
+        b, t = frames.shape[:2]
+        flat = frames.reshape((b * t,) + frames.shape[2:])
+        z = self._vae.apply(self.vae_params, flat, rng=rng, sample=sample,
+                            method=self._vae.encode)
+        z = z.reshape((b, t) + z.shape[1:])
+        return self.scale_factor * z
+
+    def decode_latents(self, z: jnp.ndarray) -> jnp.ndarray:
+        """[B,T,h,w,4] → frames [B,T,H,W,3] (decode_first_stage_2DAE,
+        ddpm3d.py:556-562, batched)."""
+        b, t = z.shape[:2]
+        flat = (z / self.scale_factor).reshape((b * t,) + z.shape[2:])
+        x = self._vae.apply(self.vae_params, flat, method=self._vae.decode)
+        return x.reshape((b, t) + x.shape[1:])
+
+    def decode_single(self, z_frame: jnp.ndarray) -> jnp.ndarray:
+        """[B,h,w,4] → [B,H,W,3] — the per-output-frame head decode of the
+        FIFO loop (funcs.py:358-360)."""
+        return self._vae.apply(
+            self.vae_params, z_frame / self.scale_factor, method=self._vae.decode)
+
+
+@dataclasses.dataclass
+class LatentVisualDiffusion(LatentDiffusion):
+    """i2v variant: adds a frozen CLIP image embedder + IP-Adapter projector
+    (ref: lvdm/models/ddpm3d.py:660-694). Image tokens are concatenated to
+    the text context on the token axis; the U-Net's `img_cross_attention`
+    splits them back out (attention.py:82-87)."""
+
+    vision_cfg: Optional[Any] = None
+    vision_params: Any = None
+    proj_params: Any = None
+    finegrained: bool = False
+
+    def __post_init__(self):
+        super().__post_init__()
+        from moca_tpu.models.clip_vision import CLIPVisionEncoder
+        from moca_tpu.models.ip_resampler import ImageProjModel, Resampler
+
+        if self.vision_cfg is not None:
+            self._vision = CLIPVisionEncoder(self.vision_cfg)
+            if self.finegrained:
+                self._proj = Resampler(num_queries=16)
+            else:
+                self._proj = ImageProjModel(clip_extra_context_tokens=4)
+
+    def get_image_embeds(self, images: jnp.ndarray) -> jnp.ndarray:
+        """[B,H,W,3] in [-1,1] → [B, N, context_dim] cross-attn tokens
+        (ddpm3d.py:689-694)."""
+        output = "tokens" if self.finegrained else "pooled"
+        feats = self._vision.apply(self.vision_params, images, output=output)
+        return self._proj.apply(self.proj_params, feats)
+
+
+def init_random_model(
+    unet_cfg: UNetConfig,
+    vae_cfg: VAEConfig,
+    clip_cfg: CLIPTextConfig,
+    key: jax.Array,
+    latent_hw=(4, 4),
+    frames: int = 2,
+) -> LatentDiffusion:
+    """Random-weight model (tests / benchmarks; weights from convert.py in
+    production)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    unet = UNet3D(unet_cfg)
+    h, w = latent_hw
+    up = unet.init(
+        k1,
+        jnp.zeros((1, frames, h, w, unet_cfg.in_channels)),
+        jnp.zeros((1, frames), jnp.int32),
+        jnp.zeros((1, 77, unet_cfg.context_dim)),
+        fps=16,
+    )
+    vae = AutoencoderKL(vae_cfg)
+    vp = vae.init(k2, jnp.zeros((1, h * 8, w * 8, vae_cfg.in_channels)))
+    clip = CLIPTextEncoder(clip_cfg)
+    cp = clip.init(k3, jnp.zeros((1, clip_cfg.context_length), jnp.int32))
+    return LatentDiffusion(unet_cfg, vae_cfg, clip_cfg, up, vp, cp)

@@ -1,0 +1,57 @@
+"""Attention dispatch: Pallas TPU flash kernel with an XLA fallback.
+
+Covers the two hot shapes of the VideoCrafter U-Net
+(ref: lvdm/modules/attention.py):
+  * spatial self/cross attention — q len = h·w (2560/640/160 at 512×320),
+    kv len = q len (self) or 77 (text cross), batch = B·T windows; the
+    reference used xformers CUDA kernels here (attention.py:129-184),
+  * temporal self attention — q len = T (16), batch = B·H·W; tiny sequence,
+    huge batch — XLA fuses this well, a custom kernel buys little.
+
+The public entry is `dot_product_attention(q, k, v, bias=None)` on
+[B, S, H, D] tensors. Softmax is always computed in float32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from moca_tpu.ops import flash_attention as _flash
+
+
+def _xla_attention(q, k, v, bias=None):
+    """Reference-path attention, fp32 softmax. q,k,v: [B, S, H, D]."""
+    dim_head = q.shape[-1]
+    scale = dim_head**-0.5
+    # [B, H, Sq, Sk]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out
+
+
+def _use_pallas(q, k, v, bias) -> bool:
+    if bias is not None:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    # Kernel tiles want reasonably sized sequences; tiny ones go to XLA.
+    return q.shape[1] >= 128 and k.shape[1] >= 128 and q.shape[-1] in (64, 128)
+
+
+@functools.partial(jax.named_call, name="attention")
+def dot_product_attention(q, k, v, bias=None):
+    """Multi-head attention on [B, S, H, D] (heads in dim 2).
+
+    Dispatches to the Pallas flash kernel on TPU for large sequences,
+    otherwise to a fused XLA path. Both compute softmax in fp32.
+    """
+    if _use_pallas(q, k, v, bias):
+        return _flash.flash_attention(q, k, v)
+    return _xla_attention(q, k, v, bias)

@@ -1,0 +1,216 @@
+"""MoCA-Video pipeline: base sample → FIFO diagonal queue → per-step concept
+injection → streaming frame decode.
+
+TPU-first equivalent of `fifo_ddim_sampling` and friends
+(ref: scripts/evaluation/funcs.py:243-468, videocrafter_main.py:66-232):
+
+  * the python rank loop + per-rank CUDA U-Net calls become ONE jitted
+    `fifo_step` whose window batch is sharded over the device mesh
+    (see sampling/fifo.py for the equivalence argument),
+  * the per-output-frame python loop stays on host (it performs IO: frame
+    decode hand-off, optional mask ingestion), everything inside is jit,
+  * latent caching for resume (reference: 0.pt / {S}.pt, ddim.py:233-250,
+    videocrafter_main.py:201-209) is npz-based and content-addressed,
+  * multi-prompt long video (funcs.py:375-468) = swapping the context
+    tensor at frame boundaries — no retrace (context is a traced arg).
+
+RNG layout (explicit, reproducible):
+    root ── "base"  : base DDIM sampling
+         ── "queue" : diagonal queue preparation
+         └─ "fifo"  : per-iteration fold: (moca windows, tail shift)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moca_tpu.models.latent_diffusion import LatentDiffusion
+from moca_tpu.sampling.ddim import make_cfg_eps_fn
+from moca_tpu.sampling.fifo import (
+    FIFOPlan, fifo_step, make_fifo_plan, prepare_queue, shift_masks,
+    shift_queue,
+)
+from moca_tpu.sampling.moca import MoCAConfig
+from moca_tpu.pipelines.t2v import T2VPipeline
+from moca_tpu.schedule import make_schedule
+
+
+@dataclasses.dataclass(eq=False)
+class MoCAVideoPipeline:
+    """End-to-end semantic mixing. Defaults follow videocrafter_main.py flags."""
+
+    model: LatentDiffusion
+    tokenizer: object
+    video_length: int = 16            # f (videocrafter_main.py:240)
+    num_partitions: int = 4           # n (:241)
+    new_video_length: int = 100       # N (:244)
+    guidance_scale: float = 12.0      # (:251)
+    eta: float = 1.0                  # (:253)
+    fps: int = 10                     # (:250)
+    lookahead_denoising: bool = True  # (:252)
+    moca: MoCAConfig = dataclasses.field(default_factory=MoCAConfig)
+    use_scale: bool = True
+    mesh: Optional[object] = None  # jax.sharding.Mesh → shard windows on ICI
+
+    def __post_init__(self):
+        self.num_inference_steps = self.video_length * self.num_partitions
+        self.sch = make_schedule(
+            ddim_num_steps=self.num_inference_steps, ddim_eta=self.eta,
+            use_scale=self.use_scale)
+        self.plan: FIFOPlan = make_fifo_plan(
+            np.asarray(self.sch.ddim_timesteps), self.video_length,
+            self.num_partitions, self.lookahead_denoising)
+        self.base = T2VPipeline(
+            self.model, self.sch, self.tokenizer,
+            guidance_scale=self.guidance_scale, fps=self.fps)
+
+    # ------------------------------------------------------------------
+    # jitted step: all FIFO windows + MoCA + shift in one compiled graph
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 7), donate_argnums=(1,))
+    def _fifo_iteration(self, latents, contexts, cond_image, masks, gamma,
+                        key, masks_are_davis, anchor=None):
+        """(queue, …) → (shifted queue, head latent). Queue buffer donated."""
+        ctx, uc = contexts
+        unet_apply = self.model.apply_unet
+        if self.mesh is not None:
+            from moca_tpu.parallel.mesh import make_sharded_unet_apply
+            unet_apply = make_sharded_unet_apply(unet_apply, self.mesh)
+        eps_fn = make_cfg_eps_fn(
+            unet_apply, self.model.unet_params, ctx, uc,
+            self.guidance_scale, fps=self.fps)
+        k_win, k_shift = jax.random.split(key)
+        new_latents, head = fifo_step(
+            eps_fn, self.sch, self.plan, self.moca, latents, k_win,
+            cond_image=cond_image, masks=masks,
+            masks_are_davis=masks_are_davis, gamma=gamma)
+        shifted = shift_queue(new_latents, k_shift, anchor=anchor)
+        return shifted, head
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _decode_head(self, head):
+        return jnp.clip(self.model.decode_single(head), -1.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def _base_latents(self, prompt: str, key: jax.Array, latent_hw,
+                      latents_dir: Optional[str]) -> jnp.ndarray:
+        """Base sampling with the reference's latent cache/resume contract
+        (videocrafter_main.py:201-209): skip when cached."""
+        cache = None
+        if latents_dir:
+            os.makedirs(latents_dir, exist_ok=True)
+            cache = os.path.join(
+                latents_dir, f"{self.num_inference_steps}.npz")
+        if cache and os.path.exists(cache):
+            data = np.load(cache)
+            return jnp.asarray(data["latents"])
+        base_sch_pipe = T2VPipeline(
+            self.model,
+            make_schedule(ddim_num_steps=self.num_inference_steps,
+                          ddim_eta=self.eta, use_scale=self.use_scale),
+            self.tokenizer, guidance_scale=self.guidance_scale, fps=self.fps)
+        latents, x_T = base_sch_pipe.sample_latents(
+            prompt, key, latent_shape=latent_hw + (4,),
+            frames=self.video_length)
+        if cache:
+            np.savez(cache, latents=np.asarray(latents), x_T=np.asarray(x_T))
+        return latents
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        prompt: str,
+        key: jax.Array,
+        cond_image: Optional[np.ndarray] = None,   # [h, w, C] latent-res
+        conditioned_prompt: Optional[str] = None,  # appended context tokens
+        gamma: Optional[float] = None,
+        height: int = 320,
+        width: int = 512,
+        clean_latents: Optional[jnp.ndarray] = None,  # DAVIS: encoded frames
+        masks: Optional[np.ndarray] = None,           # [T0, h, w] binary
+        davis_frames: Optional[jnp.ndarray] = None,   # [T0, H, W, 3] for anchors
+        latents_dir: Optional[str] = None,
+        multiprompts: Optional[Sequence[Tuple[str, int]]] = None,
+        frame_callback: Optional[Callable[[int, np.ndarray], None]] = None,
+    ) -> List[np.ndarray]:
+        """Returns the generated frames as a list of [H, W, 3] float arrays
+        in [-1, 1] (length = new_video_length + S - f, like the reference's
+        fifo loop, funcs.py:305; callers usually keep a half — see CLI)."""
+        h, w = height // 8, width // 8
+        k_base, k_queue, k_fifo = jax.random.split(key, 3)
+
+        # 1. conditioning
+        ctx = self.base.encode_prompts([prompt])
+        if conditioned_prompt:
+            # videocrafter_main.py:210-211 + DiffusionWrapper crossattn
+            # concat (ddpm3d.py:710-712): token-axis concatenation
+            ctx2 = self.base.encode_prompts([conditioned_prompt])
+            ctx = jnp.concatenate([ctx, ctx2], axis=1)
+        uc = (self.base.uncond_context(1)
+              if self.guidance_scale != 1.0 else None)
+        if uc is not None and ctx.shape[1] != uc.shape[1]:
+            reps = ctx.shape[1] // uc.shape[1]
+            uc = jnp.concatenate([uc] * reps, axis=1)
+
+        prompt_schedule = None
+        if multiprompts:
+            embeds = [self.base.encode_prompts([p]) for p, _ in multiprompts]
+            lengths = np.cumsum([n for _, n in multiprompts])
+            prompt_schedule = (embeds, lengths)
+
+        # 2. base latents (or DAVIS-encoded real video)
+        if clean_latents is None:
+            clean_latents = self._base_latents(
+                prompt, k_base, (h, w), latents_dir)
+
+        # 3. diagonal queue
+        latents = prepare_queue(self.sch, self.plan, clean_latents, k_queue)
+
+        mask_queue = None
+        if masks is not None:
+            # queue-aligned mask slots mirror the latent slots
+            from moca_tpu.sampling.fifo import queue_frame_indices
+            frame_idx, _ = queue_frame_indices(self.plan, masks.shape[0])
+            mq = np.asarray(masks)[frame_idx][None, ..., None]
+            mask_queue = jnp.asarray(mq, jnp.float32)
+            mask_tail_src = np.asarray(masks)[-1][None, ..., None]
+
+        cond = (jnp.asarray(cond_image, jnp.float32)
+                if cond_image is not None else None)
+        g = None if gamma is None else jnp.float32(gamma)
+
+        # 4. FIFO streaming loop
+        total = (self.new_video_length + self.num_inference_steps
+                 - self.video_length)
+        if multiprompts:
+            total = (int(prompt_schedule[1][-1])
+                     + self.num_inference_steps - self.video_length)
+        frames_out: List[np.ndarray] = []
+        iter_keys = jax.random.split(k_fifo, total)
+        j = 0
+        for i in range(total):
+            step_ctx = ctx
+            if prompt_schedule is not None:
+                embeds, lengths = prompt_schedule
+                if (i - (self.num_inference_steps - self.video_length)
+                        >= lengths[j]) and j + 1 < len(embeds):
+                    j += 1  # funcs.py:427-431
+                step_ctx = embeds[j]
+            latents, head = self._fifo_iteration(
+                latents, (step_ctx, uc), cond, mask_queue, g, iter_keys[i],
+                masks is not None)
+            if mask_queue is not None:
+                mask_queue = shift_masks(
+                    mask_queue, jnp.asarray(mask_tail_src, jnp.float32))
+            frame = np.asarray(self._decode_head(head)[0])
+            frames_out.append(frame)
+            if frame_callback is not None:
+                frame_callback(i, frame)
+        return frames_out

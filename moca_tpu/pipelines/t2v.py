@@ -1,0 +1,123 @@
+"""Base text-to-video pipeline: prompt → CLIP → scan(DDIM) → VAE decode.
+
+Covers the reference's `base_ddim_sampling` / `batch_ddim_sampling`
+(ref: scripts/evaluation/funcs.py:120-241) and the FreeInit iteration loop
+(the reference ships freeinit_utils but only exercises the mix at FIFO shift
+time; the full FreeInit re-sampling loop is provided here as
+`sample_with_freeinit` for the T2V+FreeInit benchmark config).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moca_tpu import freeinit
+from moca_tpu.models.latent_diffusion import LatentDiffusion
+from moca_tpu.sampling.ddim import ddim_sample, make_cfg_eps_fn
+from moca_tpu.schedule import DiffusionSchedule, make_schedule
+
+
+@dataclasses.dataclass(eq=False)  # eq=False: hashable by id for jit statics
+class T2VPipeline:
+    model: LatentDiffusion
+    sch: DiffusionSchedule
+    tokenizer: object
+    guidance_scale: float = 12.0  # videocrafter_main.py:251
+    fps: int = 10
+
+    @classmethod
+    def build(cls, model, tokenizer, num_steps: int = 50, eta: float = 1.0,
+              use_scale: bool = True, guidance_scale: float = 12.0,
+              fps: int = 10, **sched_kw):
+        sch = make_schedule(ddim_num_steps=num_steps, ddim_eta=eta,
+                            use_scale=use_scale, **sched_kw)
+        return cls(model, sch, tokenizer, guidance_scale, fps)
+
+    # ------------------------------------------------------------------
+    def encode_prompts(self, prompts: Sequence[str]) -> jnp.ndarray:
+        tokens = self.tokenizer(list(prompts))
+        return self.model.encode_tokens(tokens)
+
+    def uncond_context(self, batch: int) -> jnp.ndarray:
+        """empty-prompt embedding (uncond_type='empty_seq',
+        funcs.py:199-216)."""
+        return self.encode_prompts([""] * batch)
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _sample_latents(self, contexts, key, shape):
+        ctx, uc = contexts
+        eps_fn = make_cfg_eps_fn(
+            self.model.apply_unet, self.model.unet_params,
+            ctx, uc, self.guidance_scale, fps=self.fps)
+        return ddim_sample(eps_fn, self.sch, shape, key)
+
+    def sample_latents(
+        self, prompt: str, key: jax.Array,
+        latent_shape: Tuple[int, int, int] = (40, 64, 4), frames: int = 16,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (clean_latents, initial_noise) — both cached by the MoCA
+        pipeline (the reference saves 0.pt / {S}.pt, ddim.py:233-250)."""
+        ctx = self.encode_prompts([prompt])
+        uc = self.uncond_context(1) if self.guidance_scale != 1.0 else None
+        h, w, c = latent_shape
+        shape = (1, frames, h, w, c)
+        return self._sample_latents((ctx, uc), key, shape)
+
+    def __call__(self, prompt: str, key: jax.Array,
+                 height: int = 320, width: int = 512, frames: int = 16):
+        """prompt → video frames [T, H, W, 3] float in [-1, 1]."""
+        latents, _ = self.sample_latents(
+            prompt, key, latent_shape=(height // 8, width // 8, 4),
+            frames=frames)
+        frames_out = self.model.decode_latents(latents)
+        return jnp.clip(frames_out[0], -1.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def sample_with_freeinit(
+        self, prompt: str, key: jax.Array, iterations: int = 3,
+        height: int = 320, width: int = 512, frames: int = 16,
+        filter_type: str = "gaussian", d_s: float = 0.25, d_t: float = 0.25,
+    ):
+        """FreeInit: iteratively re-noise the sampled latent, keeping its low
+        frequencies and refreshing high frequencies, then re-sample
+        (FreeInit paper loop; mix math = utils/freeinit_utils.py:7-47)."""
+        h, w = height // 8, width // 8
+        shape = (1, frames, h, w, 4)
+        ctx = self.encode_prompts([prompt])
+        uc = self.uncond_context(1) if self.guidance_scale != 1.0 else None
+
+        key, k0 = jax.random.split(key)
+        latents, _ = self._sample_latents((ctx, uc), k0, shape)
+        lpf = freeinit.get_freq_filter((frames, h, w), filter_type, 1, d_s, d_t)
+        for _ in range(iterations - 1):
+            key, k_noise, k_samp = jax.random.split(key, 3)
+            # diffuse the clean latent to the terminal noise level, then
+            # freq-mix with fresh noise: [B,T,h,w,C] → fft over (T,h,w)
+            noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+            a_T = self.sch.alphas_cumprod[self.sch.ddim_timesteps[-1]]
+            noised = jnp.sqrt(a_T) * latents + jnp.sqrt(1 - a_T) * noise
+            x = jnp.moveaxis(noised, -1, 1)   # [B,C,T,h,w]
+            n = jnp.moveaxis(
+                jax.random.normal(k_samp, latents.shape, jnp.float32), -1, 1)
+            mixed = freeinit.freq_mix_3d(x, n, lpf)
+            x_T = jnp.moveaxis(mixed, 1, -1)
+            latents, _ = ddim_from_xt(self, (ctx, uc), x_T)
+        frames_out = self.model.decode_latents(latents)
+        return jnp.clip(frames_out[0], -1.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def ddim_from_xt(pipe: T2VPipeline, contexts, x_T):
+    ctx, uc = contexts
+    eps_fn = make_cfg_eps_fn(
+        pipe.model.apply_unet, pipe.model.unet_params,
+        ctx, uc, pipe.guidance_scale, fps=pipe.fps)
+    return ddim_sample(eps_fn, pipe.sch, x_T.shape, jax.random.PRNGKey(0),
+                       x_T=x_T)

@@ -1,0 +1,136 @@
+"""Base DDIM sampler as a jitted lax.scan.
+
+Re-implements the reference's full-video DDIM loop
+(ref: lvdm/models/samplers/ddim.py:182-359) TPU-first:
+  * the python step loop becomes `lax.scan` over a step index, gathering
+    per-step (α, α_prev, σ, scale) from the DiffusionSchedule buffers,
+  * classifier-free guidance runs cond+uncond in ONE batched U-Net forward
+    (the reference issues two sequential calls, ddim.py:295-299),
+  * `use_scale` latent-rescale correction included (ddim.py:349-355),
+  * explicit PRNG key threading (the reference relies on torch global RNG).
+
+The denoiser is injected as `eps_fn(x, t_frames) -> eps` where t_frames is
+[B, T] — the same signature serves uniform and FIFO-diagonal noise levels.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from moca_tpu.schedule import DiffusionSchedule
+
+
+def make_cfg_eps_fn(
+    unet_apply: Callable,
+    params,
+    context: jnp.ndarray,
+    uncond_context: Optional[jnp.ndarray],
+    guidance_scale: float,
+    fps=16,
+) -> Callable:
+    """Build eps_fn with classifier-free guidance fused into one forward.
+
+    Stacks [cond | uncond] on the batch axis — one U-Net call, MXU-friendly
+    (vs ddim.py:295-299's two sequential calls).
+    """
+
+    def eps_fn(x, t_frames):
+        if uncond_context is None or guidance_scale == 1.0:
+            return unet_apply(params, x, t_frames, context, fps)
+        b = x.shape[0]
+        # INTERLEAVED cond/uncond (row 2i = cond_i, row 2i+1 = uncond_i):
+        # under a sharded window batch each device holds both halves of its
+        # windows, so the CFG combine below stays shard-local (no all-to-all,
+        # unlike a [cond... | uncond...] concat).
+        x2 = jnp.stack([x, x], axis=1).reshape((2 * b,) + x.shape[1:])
+        t2 = jnp.stack([t_frames, t_frames], axis=1).reshape(
+            (2 * b,) + t_frames.shape[1:])
+        ctx_c = jnp.broadcast_to(context, (b,) + context.shape[1:])
+        ctx_u = jnp.broadcast_to(uncond_context, (b,) + uncond_context.shape[1:])
+        ctx2 = jnp.stack([ctx_c, ctx_u], axis=1).reshape(
+            (2 * b,) + context.shape[1:])
+        eps = unet_apply(params, x2, t2, ctx2, fps)
+        pairs = eps.reshape((b, 2) + eps.shape[1:])
+        e_c, e_u = pairs[:, 0], pairs[:, 1]
+        return e_u + guidance_scale * (e_c - e_u)
+
+    return eps_fn
+
+
+def ddim_step_math(
+    sch: DiffusionSchedule,
+    x: jnp.ndarray,
+    eps: jnp.ndarray,
+    index,
+    noise: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One DDIM update at schedule `index` (scalar or per-frame array).
+
+    Implements p_sample_ddim's math (ddim.py:332-357) including use_scale.
+    `index` may be a scalar (uniform) or shaped to broadcast over frames.
+    """
+    expand = lambda a: a.reshape(jnp.shape(index) + (1,) * (x.ndim - jnp.ndim(index) - 1))
+    a_t = expand(sch.ddim_alphas[index])
+    a_prev = expand(sch.ddim_alphas_prev[index])
+    sigma = expand(sch.ddim_sigmas[index])
+    sqrt_1ma = expand(sch.ddim_sqrt_one_minus_alphas[index])
+
+    pred_x0 = (x - sqrt_1ma * eps) / jnp.sqrt(a_t)
+    dir_xt = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma**2, 0.0)) * eps
+
+    if sch.use_scale:
+        scale_t = expand(sch.ddim_scale_arr[index])
+        scale_prev = expand(sch.ddim_scale_arr_prev[index])
+        pred_x0 = pred_x0 / scale_t
+        x_prev = jnp.sqrt(a_prev) * scale_prev * pred_x0 + dir_xt + sigma * noise
+    else:
+        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + sigma * noise
+    return x_prev, pred_x0
+
+
+def ddim_sample(
+    eps_fn: Callable,
+    sch: DiffusionSchedule,
+    shape: Tuple[int, ...],
+    key: jax.Array,
+    x_T: Optional[jnp.ndarray] = None,
+    temperature: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full DDIM sampling: scan over S steps from pure noise.
+
+    shape: [B, T, H, W, C]. Returns (x0_latent, x_T) — the initial noise is
+    returned for the FIFO latent cache (ddim.py:233-234 saves `0.pt`).
+
+    Key layout: key → (init_noise, step_0, step_1, ..., step_{S-1}).
+    """
+    b, t = shape[0], shape[1]
+    key_init, key_steps = jax.random.split(key)
+    if x_T is None:
+        x_T = jax.random.normal(key_init, shape, jnp.float32)
+    S = sch.num_ddim_steps
+    step_keys = jax.random.split(key_steps, S)
+
+    def body(x, per_step):
+        i, k = per_step
+        index = S - 1 - i
+        step = sch.ddim_timesteps[index]
+        t_frames = jnp.broadcast_to(step, (b, t)).astype(jnp.int32)
+        eps = eps_fn(x, t_frames)
+        noise = temperature * jax.random.normal(k, x.shape, jnp.float32)
+        x_prev, _ = ddim_step_math(sch, x, eps, index, noise)
+        return x_prev, None
+
+    x0, _ = jax.lax.scan(body, x_T, (jnp.arange(S), step_keys))
+    return x0, x_T
+
+
+def stochastic_encode(
+    sch: DiffusionSchedule, x0: jnp.ndarray, index, noise: jnp.ndarray
+) -> jnp.ndarray:
+    """q(x_t|x_0) at DDIM step `index` (ddim.py:651-671)."""
+    shape = jnp.shape(index) + (1,) * (x0.ndim - jnp.ndim(index) - 1)
+    a = sch.ddim_alphas[index].reshape(shape)
+    return jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise

@@ -1,0 +1,149 @@
+"""FIFO queue geometry + the parallel-window ≡ sequential-sweep equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from moca_tpu import schedule
+from moca_tpu.sampling import fifo
+from moca_tpu.sampling.moca import MoCAConfig
+
+
+F, N = 4, 2  # f frames per window, n partitions → S = 8 DDIM steps
+
+
+@pytest.fixture(scope="module")
+def sch():
+    return schedule.make_schedule(ddim_num_steps=F * N, ddim_eta=1.0)
+
+
+def _plan(sch, lookahead=True):
+    return fifo.make_fifo_plan(np.asarray(sch.ddim_timesteps), F, N, lookahead)
+
+
+def test_plan_geometry_lookahead(sch):
+    plan = _plan(sch, True)
+    assert plan.queue_length == F * N + F // 2
+    assert plan.num_windows == 2 * N
+    np.testing.assert_array_equal(plan.window_starts, np.arange(2 * N) * (F // 2))
+    # prefix: f/2 copies of the cleanest timestep & index 0 (funcs.py:292-294)
+    ts = np.asarray(sch.ddim_timesteps)
+    np.testing.assert_array_equal(plan.timesteps[: F // 2], ts[0])
+    np.testing.assert_array_equal(plan.indices[: F // 2], 0)
+    np.testing.assert_array_equal(plan.timesteps[F // 2 :], ts)
+    assert plan.head_slot == F // 2
+    # windows tile the queue
+    assert plan.window_starts[-1] + F == plan.queue_length
+
+
+def test_plan_geometry_no_lookahead(sch):
+    plan = _plan(sch, False)
+    assert plan.queue_length == F * N
+    assert plan.num_windows == N
+    assert plan.head_slot == 0
+
+
+def test_queue_frame_indices_reference_formula(sch):
+    plan = _plan(sch, True)
+    # 16-frame source, S=8 → T0>S case degenerates; use T0 = 3 < S = 8
+    frame_idx, idx = fifo.queue_frame_indices(plan, 3)
+    S = 8
+    expect = [max(0, i - (S - 3)) for i in range(S)]
+    np.testing.assert_array_equal(frame_idx[F // 2 :], expect)
+    np.testing.assert_array_equal(frame_idx[: F // 2], 0)
+    np.testing.assert_array_equal(idx[F // 2 :], np.arange(S))
+
+
+def test_prepare_queue_deterministic_and_scaled(sch):
+    plan = _plan(sch, True)
+    clean = jnp.ones((1, 3, 4, 4, 2)) * 2.0
+    key = jax.random.PRNGKey(7)
+    q1 = fifo.prepare_queue(sch, plan, clean, key)
+    q2 = fifo.prepare_queue(sch, plan, clean, key)
+    assert q1.shape == (1, plan.queue_length, 4, 4, 2)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    # slot mean ≈ sqrt(alpha_i)·2 (noise is zero-mean)
+    _, idx = fifo.queue_frame_indices(plan, 3)
+    alphas = np.asarray(sch.ddim_alphas)[idx]
+    means = np.asarray(q1).mean(axis=(0, 2, 3, 4))
+    np.testing.assert_allclose(means, np.sqrt(alphas) * 2.0, atol=0.6)
+
+
+def _sequential_sweep(latents, plan, window_op):
+    """Reference semantics: reversed rank order, immediate write-back
+    (funcs.py:306-354). window_op(window[B,f,...], rank) -> x_prev."""
+    lat = np.array(latents)
+    half = plan.f // 2
+    for rank in reversed(range(plan.num_windows)):
+        start = plan.window_starts[rank]
+        end = start + plan.f
+        window = lat[:, start:end].copy()
+        out = window_op(window, rank)
+        if plan.lookahead:
+            lat[:, start + half : end] = out[:, half:]
+        else:
+            lat[:, start:end] = out
+    return lat
+
+
+@pytest.mark.parametrize("lookahead", [True, False])
+def test_parallel_snapshot_equals_sequential_sweep(sch, lookahead):
+    """The core TPU design claim: batching all windows from a snapshot is
+    bit-identical to the reference's reversed sequential sweep."""
+    plan = _plan(sch, lookahead)
+    rng = np.random.default_rng(0)
+    latents = rng.normal(size=(1, plan.queue_length, 2, 2, 1)).astype(np.float32)
+
+    def window_op(window, rank):
+        # deterministic nonlinear function of the window content
+        return window * 0.5 + np.tanh(window) * (rank + 1) * 0.1
+
+    seq = _sequential_sweep(latents, plan, window_op)
+
+    windows = np.stack(
+        [latents[:, s : s + plan.f] for s in plan.window_starts], axis=0
+    )
+    outs = np.stack(
+        [window_op(windows[r], r) for r in range(plan.num_windows)], axis=0
+    )
+    par = np.asarray(
+        fifo._scatter_windows(jnp.asarray(latents), jnp.asarray(outs), plan)
+    )
+    np.testing.assert_allclose(par, seq, rtol=1e-6)
+
+
+def test_fifo_step_smoke(sch):
+    plan = _plan(sch, True)
+    B, h, w, C = 1, 4, 4, 2
+    latents = jax.random.normal(
+        jax.random.PRNGKey(0), (B, plan.queue_length, h, w, C))
+    masks = (jax.random.uniform(
+        jax.random.PRNGKey(1), (B, plan.queue_length, h, w, 1)) > 0.5
+    ).astype(jnp.float32)
+    cond_image = jnp.ones((h, w, C)) * 0.3
+
+    def eps_fn(x, t):
+        return x * 0.1  # dummy denoiser
+
+    new_latents, head = fifo.fifo_step(
+        eps_fn, sch, plan, MoCAConfig(), latents, jax.random.PRNGKey(2),
+        cond_image=cond_image, masks=masks,
+    )
+    assert new_latents.shape == latents.shape
+    assert head.shape == (B, h, w, C)
+    assert np.isfinite(np.asarray(new_latents)).all()
+    # lookahead prefix is immutable (funcs.py:351-352)
+    np.testing.assert_array_equal(
+        np.asarray(new_latents[:, : F // 2]), np.asarray(latents[:, : F // 2]))
+
+
+def test_shift_queue(sch):
+    B, Q, h, w, C = 1, 6, 4, 4, 2
+    latents = jax.random.normal(jax.random.PRNGKey(0), (B, Q, h, w, C))
+    out = fifo.shift_queue(latents, jax.random.PRNGKey(1))
+    assert out.shape == latents.shape
+    # slots shift left by one (funcs.py:91)
+    np.testing.assert_array_equal(np.asarray(out[:, :-1]), np.asarray(latents[:, 1:]))
+    # new tail is a fresh draw, not a copy
+    assert not np.allclose(np.asarray(out[:, -1]), np.asarray(latents[:, -1]))

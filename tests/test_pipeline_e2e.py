@@ -1,0 +1,94 @@
+"""End-to-end smoke: tiny random-weight model through T2V and MoCA pipelines.
+
+Mirrors the reference's CPU-unrunnable main path (videocrafter_main.py) at
+toy scale: prompt → CLIP → base DDIM → FIFO queue → MoCA injection → decode.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from moca_tpu.models.clip_text import CLIPTextConfig
+from moca_tpu.models.latent_diffusion import init_random_model
+from moca_tpu.models.tokenizer import HashTokenizer
+from moca_tpu.models.unet3d import UNetConfig
+from moca_tpu.models.vae import VAEConfig
+from moca_tpu.pipelines.moca_video import MoCAVideoPipeline
+from moca_tpu.pipelines.t2v import T2VPipeline
+from moca_tpu.sampling.moca import MoCAConfig
+
+
+HEIGHT, WIDTH = 32, 32  # latent 4×4
+F, N = 4, 2
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    unet_cfg = UNetConfig(
+        model_channels=32, num_head_channels=8, context_dim=16,
+        channel_mult=(1, 2), attention_resolutions=(1, 2),
+        num_res_blocks=1, temporal_length=F)
+    # 4 levels → 3 downsamples → the 8× factor the pipelines assume
+    vae_cfg = VAEConfig(ch=16, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                        resolution=HEIGHT)
+    clip_cfg = CLIPTextConfig(width=16, heads=2, layers=2, vocab_size=49408)
+    return init_random_model(
+        unet_cfg, vae_cfg, clip_cfg, jax.random.PRNGKey(0),
+        latent_hw=(HEIGHT // 8, WIDTH // 8), frames=F)
+
+
+def test_t2v_pipeline(tiny_model):
+    pipe = T2VPipeline.build(
+        tiny_model, HashTokenizer(), num_steps=F * N, guidance_scale=7.5)
+    video = pipe("a cat", jax.random.PRNGKey(1),
+                 height=HEIGHT, width=WIDTH, frames=F)
+    assert video.shape == (F, HEIGHT, WIDTH, 3)
+    assert np.isfinite(np.asarray(video)).all()
+
+
+def test_moca_pipeline_prompt_mode(tiny_model, tmp_path):
+    pipe = MoCAVideoPipeline(
+        tiny_model, HashTokenizer(), video_length=F, num_partitions=N,
+        new_video_length=3, guidance_scale=7.5)
+    h, w = HEIGHT // 8, WIDTH // 8
+    cond_image = np.full((h, w, 4), 0.2, np.float32)
+    frames = pipe(
+        "a mouse", jax.random.PRNGKey(2), cond_image=cond_image,
+        conditioned_prompt="a cat", gamma=0.5,
+        height=HEIGHT, width=WIDTH, latents_dir=str(tmp_path))
+    expected = 3 + F * N - F
+    assert len(frames) == expected
+    assert frames[0].shape == (HEIGHT, WIDTH, 3)
+    assert all(np.isfinite(f).all() for f in frames)
+    # latent cache written for resume (videocrafter_main.py:201 contract)
+    assert (tmp_path / f"{F * N}.npz").exists()
+
+
+def test_moca_pipeline_davis_mode(tiny_model):
+    pipe = MoCAVideoPipeline(
+        tiny_model, HashTokenizer(), video_length=F, num_partitions=N,
+        new_video_length=2, guidance_scale=7.5,
+        moca=MoCAConfig(inject_into_queue=True))
+    h, w = HEIGHT // 8, WIDTH // 8
+    T0 = 6
+    # fake DAVIS: encoded real-video latents + binary masks
+    clean = jax.random.normal(jax.random.PRNGKey(3), (1, T0, h, w, 4)) * 0.1
+    masks = (np.random.default_rng(0).random((T0, h, w)) > 0.5).astype(np.float32)
+    cond_image = np.full((h, w, 4), 0.2, np.float32)
+    frames = pipe(
+        "object moving", jax.random.PRNGKey(4), cond_image=cond_image,
+        height=HEIGHT, width=WIDTH, clean_latents=clean, masks=masks)
+    assert len(frames) == 2 + F * N - F
+    assert all(np.isfinite(f).all() for f in frames)
+
+
+def test_moca_pipeline_multiprompt(tiny_model, tmp_path):
+    pipe = MoCAVideoPipeline(
+        tiny_model, HashTokenizer(), video_length=F, num_partitions=N,
+        new_video_length=3, guidance_scale=7.5)
+    frames = pipe(
+        "scene one", jax.random.PRNGKey(5),
+        height=HEIGHT, width=WIDTH, latents_dir=str(tmp_path),
+        multiprompts=[("scene one", 2), ("scene two", 2)])
+    assert len(frames) == 4 + F * N - F
