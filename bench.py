@@ -21,6 +21,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: first-ever compile of the 1.4B U-Net is
+# minutes on this host; subsequent bench runs (incl. the driver's) hit the
+# cache and only pay execution time.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 FRAMES = 16
 H, W = 40, 64  # 512×320 → /8
@@ -37,6 +44,86 @@ def _random_params_like(shapes, key, scale=0.02):
         for k, l in zip(keys, leaves)
     ]
     return jax.tree.unflatten(treedef, vals)
+
+
+def bench_fifo():
+    """sec per output frame of the full MoCA FIFO iteration at flagship
+    shape (f=16, n=4 lookahead → 8 windows ×2 CFG = one batch-256-frame
+    U-Net call + MoCA scan + shift + head decode)."""
+    import numpy as np
+
+    from moca_tpu.models.unet3d import UNet3D, UNetConfig
+    from moca_tpu.models.vae import AutoencoderKL, VAEConfig
+    from moca_tpu.sampling.ddim import make_cfg_eps_fn
+    from moca_tpu.sampling.fifo import fifo_step, make_fifo_plan, shift_queue
+    from moca_tpu.sampling.moca import MoCAConfig
+    from moca_tpu.schedule import make_schedule
+
+    dtype = jnp.bfloat16
+    ucfg = UNetConfig(dtype=dtype, param_dtype=dtype)
+    vcfg = VAEConfig(dtype=dtype, param_dtype=dtype)
+    unet = UNet3D(ucfg)
+    vae = AutoencoderKL(vcfg)
+    f, n = 16, 4
+    sch = make_schedule(ddim_num_steps=f * n, ddim_eta=1.0)
+    plan = make_fifo_plan(np.asarray(sch.ddim_timesteps), f, n, True)
+
+    x = jnp.zeros((1, f, H, W, 4), jnp.float32)
+    ts = jnp.zeros((1, f), jnp.int32)
+    ctx = jnp.zeros((1, 77, ucfg.context_dim), jnp.float32)
+    ushapes = jax.eval_shape(lambda k: unet.init(k, x, ts, ctx, fps=16),
+                             jax.random.PRNGKey(0))
+    uparams = _random_params_like(ushapes, jax.random.PRNGKey(1))
+    vshapes = jax.eval_shape(
+        lambda k: vae.init(k, jnp.zeros((1, H * 8, W * 8, 3))),
+        jax.random.PRNGKey(0))
+    vparams = _random_params_like(vshapes, jax.random.PRNGKey(2))
+    uc = jnp.zeros_like(ctx)
+    cond_image = jnp.full((H, W, 4), 0.2)
+
+    def unet_apply(p, xx, tt, cc, fps=16):
+        return unet.apply(p, xx, tt, cc, fps=fps)
+
+    @jax.jit
+    def iteration(params, latents, key):
+        eps_fn = make_cfg_eps_fn(unet_apply, params, ctx, uc, 12.0)
+        k1, k2 = jax.random.split(key)
+        new_latents, head = fifo_step(
+            eps_fn, sch, plan, MoCAConfig(), latents, k1,
+            cond_image=cond_image)
+        return shift_queue(new_latents, k2), head
+
+    @jax.jit
+    def decode(params, heads):
+        return vae.apply(params, heads, method=vae.decode)
+
+    latents = jax.random.normal(
+        jax.random.PRNGKey(3), (1, plan.queue_length, H, W, 4))
+    t0 = time.perf_counter()
+    latents, head = iteration(uparams, latents, jax.random.PRNGKey(4))
+    frame = decode(vparams, head)
+    jax.block_until_ready(frame)
+    compile_s = time.perf_counter() - t0
+
+    n_runs = int(os.environ.get("BENCH_RUNS", "4"))
+    heads = []
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        latents, head = iteration(uparams, latents, jax.random.PRNGKey(5 + i))
+        heads.append(head)
+    frames = decode(vparams, jnp.concatenate(heads, axis=0))
+    jax.block_until_ready(frames)
+    sec_per_frame = (time.perf_counter() - t0) / n_runs
+
+    print(json.dumps({
+        "metric": "sec per output frame, full MoCA FIFO iteration "
+                  "(f=16 n=4 lookahead, 8 windows, CFG, bf16, 1 chip)",
+        "value": round(sec_per_frame, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / (sec_per_frame * 16), 3),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }))
 
 
 def main():
@@ -68,22 +155,24 @@ def main():
     def unet_apply(p, xx, tt, cc, fps=16):
         return unet.apply(p, xx, tt, cc, fps=fps)
 
-    eps_fn = make_cfg_eps_fn(unet_apply, uparams, ctx, uc, 12.0)
-
+    # NOTE: params are explicit jit arguments — closed-over weight trees
+    # would be baked into the HLO as constants (GBs shipped to the remote
+    # compiler under axon).
     @jax.jit
-    def sample(key):
+    def sample(params, key):
+        eps_fn = make_cfg_eps_fn(unet_apply, params, ctx, uc, 12.0)
         latents, _ = ddim_sample(eps_fn, sch, (1, FRAMES, H, W, 4), key)
         return latents
 
     @jax.jit
-    def decode(latents):
+    def decode(params, latents):
         flat = latents.reshape((FRAMES, H, W, 4))
-        return vae.apply(vparams, flat, method=vae.decode)
+        return vae.apply(params, flat, method=vae.decode)
 
     # compile
     t0 = time.perf_counter()
-    lat = sample(jax.random.PRNGKey(0))
-    frames = decode(lat)
+    lat = sample(uparams, jax.random.PRNGKey(0))
+    frames = decode(vparams, lat)
     jax.block_until_ready(frames)
     compile_s = time.perf_counter() - t0
 
@@ -92,8 +181,8 @@ def main():
     times = []
     for i in range(n_runs):
         t0 = time.perf_counter()
-        lat = sample(jax.random.PRNGKey(i + 1))
-        frames = decode(lat)
+        lat = sample(uparams, jax.random.PRNGKey(i + 1))
+        frames = decode(vparams, lat)
         jax.block_until_ready(frames)
         times.append(time.perf_counter() - t0)
     sec_per_clip = min(times)
@@ -112,4 +201,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "fifo":
+        bench_fifo()
+    else:
+        main()

@@ -23,7 +23,6 @@ from moca_tpu.config import load_model_config
 from moca_tpu.io.davis import get_davis_prompt, load_davis_data
 from moca_tpu.io.prompts import load_prompts
 from moca_tpu.io.video import load_conditioning_image, save_video
-from moca_tpu.models.convert import convert_checkpoint
 from moca_tpu.models.latent_diffusion import LatentDiffusion
 from moca_tpu.models.tokenizer import load_tokenizer
 from moca_tpu.pipelines.moca_video import MoCAVideoPipeline
@@ -86,8 +85,9 @@ def load_pipeline(args) -> MoCAVideoPipeline:
     cfg = load_model_config(args.config, dtype=args.precision)
     assert os.path.exists(args.ckpt_path), \
         f"Error: checkpoint [{args.ckpt_path}] Not Found!"
-    log.info("converting checkpoint %s", args.ckpt_path)
-    unet_p, vae_p, clip_p = convert_checkpoint(
+    log.info("loading checkpoint %s", args.ckpt_path)
+    from moca_tpu.io.checkpoint import load_or_convert
+    unet_p, vae_p, clip_p = load_or_convert(
         args.ckpt_path, cfg.unet, cfg.vae, cfg.clip)
     model = LatentDiffusion(cfg.unet, cfg.vae, cfg.clip,
                             unet_p, vae_p, clip_p,

@@ -49,41 +49,49 @@ class LatentDiffusion:
         return self._unet.apply(params, x, t_frames, context, fps=fps)
 
     # -- text --------------------------------------------------------------
-    def encode_tokens(self, tokens) -> jnp.ndarray:
+    def encode_tokens(self, tokens, params=None) -> jnp.ndarray:
         """[B,77] int32 → [B,77,width] (get_learned_conditioning,
         ddpm3d.py:445-456)."""
-        return self._clip.apply(self.clip_params, jnp.asarray(tokens))
+        params = self.clip_params if params is None else params
+        return self._clip.apply(params, jnp.asarray(tokens))
 
     # -- first stage -------------------------------------------------------
+    # `params` overrides exist so jitted pipeline stages can take the weight
+    # trees as explicit arguments (closure capture would embed them as HLO
+    # constants — fatal for axon's remote compiler).
+
     def encode_frames(
         self, frames: jnp.ndarray, rng: Optional[jax.Array] = None,
-        sample: bool = True,
+        sample: bool = True, params=None,
     ) -> jnp.ndarray:
         """[B,T,H,W,3] in [-1,1] → latents [B,T,h,w,4] × scale_factor.
 
         Replaces the reference's per-frame python loop
         (encode_first_stage_2DAE, ddpm3d.py:485-490) with one batched call.
         """
+        params = self.vae_params if params is None else params
         b, t = frames.shape[:2]
         flat = frames.reshape((b * t,) + frames.shape[2:])
-        z = self._vae.apply(self.vae_params, flat, rng=rng, sample=sample,
+        z = self._vae.apply(params, flat, rng=rng, sample=sample,
                             method=self._vae.encode)
         z = z.reshape((b, t) + z.shape[1:])
         return self.scale_factor * z
 
-    def decode_latents(self, z: jnp.ndarray) -> jnp.ndarray:
+    def decode_latents(self, z: jnp.ndarray, params=None) -> jnp.ndarray:
         """[B,T,h,w,4] → frames [B,T,H,W,3] (decode_first_stage_2DAE,
         ddpm3d.py:556-562, batched)."""
+        params = self.vae_params if params is None else params
         b, t = z.shape[:2]
         flat = (z / self.scale_factor).reshape((b * t,) + z.shape[2:])
-        x = self._vae.apply(self.vae_params, flat, method=self._vae.decode)
+        x = self._vae.apply(params, flat, method=self._vae.decode)
         return x.reshape((b, t) + x.shape[1:])
 
-    def decode_single(self, z_frame: jnp.ndarray) -> jnp.ndarray:
+    def decode_single(self, z_frame: jnp.ndarray, params=None) -> jnp.ndarray:
         """[B,h,w,4] → [B,H,W,3] — the per-output-frame head decode of the
         FIFO loop (funcs.py:358-360)."""
+        params = self.vae_params if params is None else params
         return self._vae.apply(
-            self.vae_params, z_frame / self.scale_factor, method=self._vae.decode)
+            params, z_frame / self.scale_factor, method=self._vae.decode)
 
 
 @dataclasses.dataclass

@@ -172,10 +172,17 @@ class HashTokenizer:
     def __call__(self, texts, context_length: int = CONTEXT_LENGTH) -> np.ndarray:
         if isinstance(texts, str):
             texts = [texts]
+        import hashlib
+
         result = np.zeros((len(texts), context_length), np.int32)
         for i, text in enumerate(texts):
             words = _whitespace_clean(text).lower().split(" ") if text.strip() else []
-            ids = [hash(w) % (self.vocab_size - 2) for w in words]
+            # stable across processes (python's hash() is seed-randomized)
+            ids = [
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little")
+                % (self.vocab_size - 2)
+                for w in words
+            ]
             toks = [self.sot] + ids + [self.eot]
             toks = toks[:context_length]
             result[i, : len(toks)] = toks

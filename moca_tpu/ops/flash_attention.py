@@ -42,9 +42,9 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nkv)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, :, 0, :]  # [bq, d]
-    k = k_ref[0, :, 0, :]  # [bkv, d]
-    v = v_ref[0, :, 0, :]  # [bkv, d]
+    q = q_ref[0, 0]  # [bq, d]
+    k = k_ref[0, 0]  # [bkv, d]
+    v = v_ref[0, 0]  # [bkv, d]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -69,12 +69,18 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nkv)
 
     @pl.when(j == nkv - 1)
     def _finalize():
-        o_ref[0, :, 0, :] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=())
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Fused attention on [B, S, H, D]; softmax in fp32. No bias/mask."""
+    """Fused attention on [B, S, H, D]; softmax in fp32. No bias/mask.
+
+    Internally heads-major [B, H, S, D] so every Pallas block keeps (seq, d)
+    as its trailing dims (TPU tiling wants the last two block dims to be
+    8/128-aligned or full); XLA usually fuses the transposes into the
+    surrounding projections.
+    """
     b, sq, h, d = q.shape
     sk = k.shape[1]
     bq = _pick_block(sq)
@@ -82,19 +88,23 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     nq, nkv = sq // bq, sk // bkv
     scale = d**-0.5
 
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
     grid = (b, h, nq, nkv)
     kernel = functools.partial(_fa_kernel, scale=scale, nkv=nkv)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, 1, d), lambda b_, h_, i, j: (b_, i, h_, 0)),
-            pl.BlockSpec((1, bkv, 1, d), lambda b_, h_, i, j: (b_, j, h_, 0)),
-            pl.BlockSpec((1, bkv, 1, d), lambda b_, h_, i, j: (b_, j, h_, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, 1, d), lambda b_, h_, i, j: (b_, i, h_, 0)),
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((bq, _LANES), jnp.float32),  # running max
             pltpu.VMEM((bq, _LANES), jnp.float32),  # running denom
@@ -105,4 +115,5 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
             bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
             transcendentals=b * h * sq * sk,
         ),
-    )(q, k, v)
+    )(qt, kt, vt)
+    return out.transpose(0, 2, 1, 3)

@@ -58,6 +58,7 @@ class MoCAVideoPipeline:
     moca: MoCAConfig = dataclasses.field(default_factory=MoCAConfig)
     use_scale: bool = True
     mesh: Optional[object] = None  # jax.sharding.Mesh → shard windows on ICI
+    decode_batch: int = 8  # head frames decoded per batched VAE call
 
     def __post_init__(self):
         self.num_inference_steps = self.video_length * self.num_partitions
@@ -74,17 +75,20 @@ class MoCAVideoPipeline:
     # ------------------------------------------------------------------
     # jitted step: all FIFO windows + MoCA + shift in one compiled graph
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 7), donate_argnums=(1,))
-    def _fifo_iteration(self, latents, contexts, cond_image, masks, gamma,
-                        key, masks_are_davis, anchor=None):
-        """(queue, …) → (shifted queue, head latent). Queue buffer donated."""
+    @functools.partial(jax.jit, static_argnums=(0, 8), donate_argnums=(2,))
+    def _fifo_iteration(self, unet_params, latents, contexts, cond_image,
+                        masks, gamma, key, masks_are_davis, anchor=None):
+        """(queue, …) → (shifted queue, head latent). Queue buffer donated.
+
+        unet_params is an explicit argument (closure capture would bake the
+        1.4B weight tree into the HLO — axon's remote compiler chokes)."""
         ctx, uc = contexts
         unet_apply = self.model.apply_unet
         if self.mesh is not None:
             from moca_tpu.parallel.mesh import make_sharded_unet_apply
             unet_apply = make_sharded_unet_apply(unet_apply, self.mesh)
         eps_fn = make_cfg_eps_fn(
-            unet_apply, self.model.unet_params, ctx, uc,
+            unet_apply, unet_params, ctx, uc,
             self.guidance_scale, fps=self.fps)
         k_win, k_shift = jax.random.split(key)
         new_latents, head = fifo_step(
@@ -95,8 +99,14 @@ class MoCAVideoPipeline:
         return shifted, head
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _decode_head(self, head):
-        return jnp.clip(self.model.decode_single(head), -1.0, 1.0)
+    def _decode_heads(self, vae_params, heads):
+        """[K, h, w, 4] stacked head latents → [K, H, W, 3] frames.
+
+        The reference decodes ONE frame per FIFO iteration
+        (funcs.py:358-360); batching K decodes into one VAE call keeps the
+        MXU busy and amortizes dispatch latency."""
+        return jnp.clip(
+            self.model.decode_single(heads, params=vae_params), -1.0, 1.0)
 
     # ------------------------------------------------------------------
     def _base_latents(self, prompt: str, key: jax.Array, latent_hw,
@@ -173,6 +183,15 @@ class MoCAVideoPipeline:
         # 3. diagonal queue
         latents = prepare_queue(self.sch, self.plan, clean_latents, k_queue)
 
+        # DAVIS tail anchor: the reference re-encodes the LAST real frame as
+        # the FreeInit anchor on every shift (funcs.py:101-114). The frame is
+        # constant, so encode it once here.
+        anchor = None
+        if davis_frames is not None:
+            k_anchor, k_queue = jax.random.split(k_queue)
+            anchor = self.model.encode_frames(
+                davis_frames[None, -1:], rng=k_anchor)[:, 0]
+
         mask_queue = None
         if masks is not None:
             # queue-aligned mask slots mirror the latent slots
@@ -195,6 +214,21 @@ class MoCAVideoPipeline:
         frames_out: List[np.ndarray] = []
         iter_keys = jax.random.split(k_fifo, total)
         j = 0
+        pending_heads: List = []
+
+        def flush():
+            if not pending_heads:
+                return
+            batch = jnp.concatenate(pending_heads, axis=0)
+            decoded = np.asarray(
+                self._decode_heads(self.model.vae_params, batch))
+            base = len(frames_out)
+            for n, frame in enumerate(decoded):
+                frames_out.append(frame)
+                if frame_callback is not None:
+                    frame_callback(base + n, frame)
+            pending_heads.clear()
+
         for i in range(total):
             step_ctx = ctx
             if prompt_schedule is not None:
@@ -204,13 +238,15 @@ class MoCAVideoPipeline:
                     j += 1  # funcs.py:427-431
                 step_ctx = embeds[j]
             latents, head = self._fifo_iteration(
-                latents, (step_ctx, uc), cond, mask_queue, g, iter_keys[i],
-                masks is not None)
+                self.model.unet_params, latents, (step_ctx, uc), cond,
+                mask_queue, g, iter_keys[i], masks is not None, anchor=anchor)
             if mask_queue is not None:
                 mask_queue = shift_masks(
                     mask_queue, jnp.asarray(mask_tail_src, jnp.float32))
-            frame = np.asarray(self._decode_head(head)[0])
-            frames_out.append(frame)
-            if frame_callback is not None:
-                frame_callback(i, frame)
+            # heads stay on device; decode in batches (async dispatch keeps
+            # the denoise pipeline ahead of the decodes)
+            pending_heads.append(head)
+            if len(pending_heads) >= self.decode_batch:
+                flush()
+        flush()
         return frames_out

