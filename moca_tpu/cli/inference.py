@@ -50,15 +50,51 @@ def build_parser():
     p.add_argument("--bpe_path", type=str, default=None)
     p.add_argument("--freeinit_iters", type=int, default=0,
                    help="FreeInit noise-reinit iterations (0 = off)")
+    p.add_argument("--mode", type=str, default="base",
+                   choices=["base", "i2v"],
+                   help="i2v: per-prompt conditioning images whose CLIP "
+                        "tokens are concatenated to the text context "
+                        "(inference.py:110-117)")
+    p.add_argument("--cond_image_dir", type=str, default=None,
+                   help="i2v mode: directory of images matched to prompts "
+                        "by sorted order")
     return p
+
+
+def _load_i2v_model(args, cfg):
+    """Build LatentVisualDiffusion with the image embedder + projector
+    (ddpm3d.py:660-694)."""
+    import numpy as np
+
+    from moca_tpu.models.clip_vision import CLIPVisionConfig
+    from moca_tpu.models.convert import (
+        convert_clip_vision, convert_image_proj, load_torch_state_dict,
+        convert_unet, convert_vae, convert_clip)
+    from moca_tpu.models.latent_diffusion import LatentVisualDiffusion
+
+    sd = load_torch_state_dict(args.ckpt_path)
+    vcfg = CLIPVisionConfig()
+    return LatentVisualDiffusion(
+        cfg.unet, cfg.vae, cfg.clip,
+        convert_unet(sd, cfg.unet), convert_vae(sd, cfg.vae),
+        convert_clip(sd, cfg.clip),
+        scale_factor=cfg.diffusion.scale_factor,
+        vision_cfg=vcfg,
+        vision_params=convert_clip_vision(sd, layers=vcfg.layers),
+        proj_params=convert_image_proj(sd),
+        finegrained=cfg.finegrained)
 
 
 def main(args):
     cfg = load_model_config(args.config, dtype=args.precision)
-    unet_p, vae_p, clip_p = convert_checkpoint(
-        args.ckpt_path, cfg.unet, cfg.vae, cfg.clip)
-    model = LatentDiffusion(cfg.unet, cfg.vae, cfg.clip, unet_p, vae_p,
-                            clip_p, scale_factor=cfg.diffusion.scale_factor)
+    if args.mode == "i2v" or cfg.is_i2v:
+        model = _load_i2v_model(args, cfg)
+    else:
+        unet_p, vae_p, clip_p = convert_checkpoint(
+            args.ckpt_path, cfg.unet, cfg.vae, cfg.clip)
+        model = LatentDiffusion(cfg.unet, cfg.vae, cfg.clip, unet_p, vae_p,
+                                clip_p,
+                                scale_factor=cfg.diffusion.scale_factor)
     pipe = T2VPipeline.build(
         model, load_tokenizer(args.bpe_path), num_steps=args.ddim_steps,
         eta=args.ddim_eta, use_scale=cfg.diffusion.use_scale,
@@ -70,18 +106,37 @@ def main(args):
     per = -(-len(prompts) // args.num_processes)
     shard = prompts[args.rank * per : (args.rank + 1) * per]
 
+    cond_images = None
+    if args.mode == "i2v":
+        assert args.cond_image_dir, "--cond_image_dir required for i2v"
+        from moca_tpu.io.video import uint8_to_tensor
+        from PIL import Image
+        files = sorted(os.listdir(args.cond_image_dir))
+        cond_images = [
+            uint8_to_tensor(np.asarray(
+                Image.open(os.path.join(args.cond_image_dir, f))
+                .convert("RGB")))
+            for f in files
+        ]
+
     os.makedirs(args.savedir, exist_ok=True)
     for i, prompt in enumerate(shard):
         t0 = time.time()
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed),
                                  args.rank * per + i)
+        img_tokens = None
+        if cond_images is not None:
+            # image tokens appended to the text context on the token axis
+            # (inference.py:110-117)
+            img = cond_images[(args.rank * per + i) % len(cond_images)]
+            img_tokens = model.get_image_embeds(img[None])
         if args.freeinit_iters > 1:
             video = pipe.sample_with_freeinit(
                 prompt, key, iterations=args.freeinit_iters,
                 height=args.height, width=args.width, frames=args.frames)
         else:
             video = pipe(prompt, key, height=args.height, width=args.width,
-                         frames=args.frames)
+                         frames=args.frames, image_tokens=img_tokens)
         name = prompt[:100].replace("/", "_")
         save_video([np.asarray(v) for v in video],
                    os.path.join(args.savedir, f"{name}.mp4"),

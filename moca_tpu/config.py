@@ -43,6 +43,10 @@ class ModelConfig:
     unet: UNetConfig
     vae: VAEConfig
     clip: CLIPTextConfig
+    # i2v (LatentVisualDiffusion, ddpm3d.py:660-694): present when the YAML
+    # target is LatentVisualDiffusion / has a cond_img_config
+    is_i2v: bool = False
+    finegrained: bool = False
 
 
 def _dtype_of(name: Optional[str]):
@@ -128,4 +132,7 @@ def model_config_from_dict(raw: Dict[str, Any],
     unet = _unet_from_yaml(mp["unet_config"]["params"], dt)
     vae = _vae_from_yaml(mp["first_stage_config"]["params"], dt)
     clip = _clip_from_yaml(mp["cond_stage_config"].get("params", {}), dt)
-    return ModelConfig(diffusion=diffusion, unet=unet, vae=vae, clip=clip)
+    target = raw["model"].get("target", "")
+    is_i2v = ("LatentVisualDiffusion" in target) or ("cond_img_config" in mp)
+    return ModelConfig(diffusion=diffusion, unet=unet, vae=vae, clip=clip,
+                       is_i2v=is_i2v, finegrained=mp.get("finegrained", False))

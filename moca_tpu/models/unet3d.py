@@ -30,7 +30,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from moca_tpu.ops.attention import dot_product_attention
+from moca_tpu.ops.attention import (
+    dot_product_attention, packed_attention, use_packed_tiny,
+)
 from moca_tpu.ops.norms import GroupNorm32
 from moca_tpu.schedule import timestep_embedding
 
@@ -293,6 +295,13 @@ class CrossAttention(nn.Module):
 
         b, sq = q.shape[0], q.shape[1]
         sk = k.shape[1]
+
+        if (not self.causal and not self.relative_position and ctx_img is None
+                and context is None and use_packed_tiny(sq, sk, None, inner)):
+            out = packed_attention(q, k, v, h)
+            return nn.Dense(out_dim, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="to_out")(out)
+
         qh = q.reshape(b, sq, h, d)
         kh = k.reshape(b, sk, h, d)
         vh = v.reshape(b, sk, h, d)
@@ -511,7 +520,10 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.channels, (3, 3), strides=(2, 2), dtype=self.dtype,
+        # explicit pad 1: flax 'SAME' pads (0,1) for stride 2 on even dims,
+        # torch Conv2d(padding=1) pads (1,1) — different window alignment
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)), dtype=self.dtype,
                        param_dtype=self.param_dtype, name="conv")(x)
 
 

@@ -37,12 +37,41 @@ def _xla_attention(q, k, v, bias=None):
 
 
 def _use_pallas(q, k, v, bias) -> bool:
+    import os
+
+    if os.environ.get("MOCA_TPU_NO_PALLAS"):  # A/B escape hatch
+        return False
     if bias is not None:
         return False
     if jax.default_backend() != "tpu":
         return False
-    # Kernel tiles want reasonably sized sequences; tiny ones go to XLA.
+    # Profiled on v5e (FIFO step): the flash kernel hits ~78% MFU at S=2560;
+    # short self-attentions (160/640) go through the batched-rows small-S
+    # kernel inside flash_attention (per-(b,h) grids cost 62 ms at S=160).
     return q.shape[1] >= 128 and k.shape[1] >= 128 and q.shape[-1] in (64, 128)
+
+
+def use_packed_tiny(seq_len: int, kv_len: int, bias,
+                    channels: int = 0) -> bool:
+    """Route tiny self-attention (temporal transformers, S=16) through the
+    packed-heads Pallas kernel — avoids XLA's head-major transposes and HBM
+    logits (~430 ms/step profiled at the flagship FIFO shape).
+
+    Restricted to C ≤ 320 (the level-1 temporal layers, the dominant cost):
+    wider channels blow VMEM under the pipeline's double buffering and crash
+    the Mosaic compiler (verified on v5e for C ∈ {512, 640, 1280})."""
+    import os
+
+    if os.environ.get("MOCA_TPU_NO_PALLAS"):
+        return False
+    return (bias is None and jax.default_backend() == "tpu"
+            and seq_len == kv_len and seq_len <= 32 and seq_len % 8 == 0
+            and 0 < channels <= 320)
+
+
+def packed_attention(q, k, v, heads: int):
+    """[N, S, H·D] packed-heads attention (see flash_attention.packed_attention)."""
+    return _flash.packed_attention(q, k, v, heads)
 
 
 @functools.partial(jax.named_call, name="attention")

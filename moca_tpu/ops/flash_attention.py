@@ -72,6 +72,120 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nkv)
         o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
+def _fa_small_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    """Batched-rows single-pass attention for short sequences.
+
+    One program handles `nb` independent (batch·head) rows of a full SxS
+    attention — amortizing grid overhead that dominates at small S (the
+    per-(b,h,q-block,kv-block) grid costs 62 ms at S=160 vs ~5 ms here).
+    """
+    q = q_ref[...]  # [nb, S, d]
+    k = k_ref[...]
+    v = v_ref[...]
+    logits = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # [nb, S, S]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _small_attention(q, k, v):
+    """[B,S,H,D] self-attention for S ≤ ~640 via the batched-rows kernel."""
+    b, s, h, d = q.shape
+    scale = d**-0.5
+    bh = b * h
+
+    def fold(t):
+        return t.transpose(0, 2, 1, 3).reshape(bh, s, d)
+
+    # nb rows per program: keep the fp32 logits tile ≤ ~2 MB
+    nb = max(1, (2 * 1024 * 1024) // (s * s * 4))
+    while bh % nb:
+        nb -= 1
+    grid = (bh // nb,)
+    out = pl.pallas_call(
+        functools.partial(_fa_small_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * s * s * d,
+            bytes_accessed=4 * bh * s * d * q.dtype.itemsize,
+            transcendentals=bh * s * s,
+        ),
+    )(fold(q), fold(k), fold(v))
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
+def _packed_tiny_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, heads, d):
+    """Tiny-sequence attention on PACKED heads ([nb, S, H·D] blocks).
+
+    For the temporal transformers (S=16, batch B·H·W ≈ 40960): XLA's
+    head-major einsum materializes [N, h, 16, 16] fp32 logits and
+    head-split copies in HBM (~430 ms/step profiled); here everything stays
+    in VMEM. Heads are separated by MASKED full-width dots — 64-lane slices
+    at arbitrary offsets crash the Mosaic compiler for C≥512, so each head's
+    contraction runs over all C lanes with the other heads' lanes zeroed
+    (the extra zero-lane FLOPs are negligible at S=16).
+    """
+    q = q_ref[...]  # [nb, S, C]
+    k = k_ref[...]
+    v = v_ref[...]
+    c = q.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, dimension=2)
+    acc = jnp.zeros(q.shape, jnp.float32)
+    for hh in range(heads):
+        mask = jnp.logical_and(lane >= hh * d, lane < (hh + 1) * d)
+        km = jnp.where(mask, k, jnp.zeros_like(k))
+        qm = jnp.where(mask, q, jnp.zeros_like(q))
+        logits = jax.lax.dot_general(
+            qm, km, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # [nb, S, S]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        vm = jnp.where(mask, v, jnp.zeros_like(v))
+        acc = acc + jax.lax.dot_general(
+            p.astype(v.dtype), vm, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     heads: int) -> jnp.ndarray:
+    """Self-attention on [N, S, H·D] without splitting heads at the XLA
+    level (no head-major transposes). For tiny S (temporal layers)."""
+    n, s, c = q.shape
+    d = c // heads
+    scale = d**-0.5
+    nb = 128
+    while n % nb:
+        nb //= 2
+    grid = (n // nb,)
+    return pl.pallas_call(
+        functools.partial(_packed_tiny_kernel, scale=scale, heads=heads, d=d),
+        out_shape=jax.ShapeDtypeStruct((n, s, c), q.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((nb, s, c), lambda i: (i, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((nb, s, c), lambda i: (i, 0, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * heads * s * s * d,
+            bytes_accessed=4 * n * s * c * q.dtype.itemsize,
+            transcendentals=n * heads * s * s,
+        ),
+    )(q, k, v)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Fused attention on [B, S, H, D]; softmax in fp32. No bias/mask.
@@ -81,10 +195,20 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     8/128-aligned or full); XLA usually fuses the transposes into the
     surrounding projections.
     """
+    import os
+
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    bq = _pick_block(sq)
-    bkv = _pick_block(sk)
+    if sq == sk and sq <= 640 and sq % 8 == 0:
+        return _small_attention(q, k, v)
+    # measured on v5e (FIFO bench, S=2560): bq=bkv=512 → 3.05 s/frame;
+    # single-pass full-KV (bkv=2560, 5.2MB logits tile) regressed to 5.28 s —
+    # VMEM pressure outweighs the saved online-softmax rescaling.
+    # Env overrides for tuning sweeps (must divide the sequence).
+    bq_env = int(os.environ.get("MOCA_TPU_FA_BQ", "0"))
+    bkv_env = int(os.environ.get("MOCA_TPU_FA_BKV", "0"))
+    bq = bq_env if bq_env and sq % bq_env == 0 else _pick_block(sq)
+    bkv = bkv_env if bkv_env and sk % bkv_env == 0 else _pick_block(sk)
     nq, nkv = sq // bq, sk // bkv
     scale = d**-0.5
 

@@ -82,11 +82,33 @@ class T2VPipeline:
         return jnp.clip(
             self.model.decode_latents(latents, params=vae_params), -1.0, 1.0)
 
+    def sample_latents_from_context(
+        self, ctx: jnp.ndarray, uc: Optional[jnp.ndarray], key: jax.Array,
+        latent_shape: Tuple[int, int, int] = (40, 64, 4), frames: int = 16,
+    ):
+        """Sample with a pre-built context (e.g. text‖image token concat for
+        the i2v variant, inference.py:110-117)."""
+        h, w, c = latent_shape
+        return self._sample_latents(
+            self.model.unet_params, (ctx, uc), key, (1, frames, h, w, c))
+
     def __call__(self, prompt: str, key: jax.Array,
-                 height: int = 320, width: int = 512, frames: int = 16):
-        """prompt → video frames [T, H, W, 3] float in [-1, 1]."""
-        latents, _ = self.sample_latents(
-            prompt, key, latent_shape=(height // 8, width // 8, 4),
+                 height: int = 320, width: int = 512, frames: int = 16,
+                 image_tokens: Optional[jnp.ndarray] = None):
+        """prompt → video frames [T, H, W, 3] float in [-1, 1].
+
+        image_tokens: optional [1, N, context_dim] i2v tokens appended to the
+        text context (and zero-image tokens to the uncond context, matching
+        batch_ddim_sampling's uc_img, funcs.py:136-141)."""
+        ctx = self.encode_prompts([prompt])
+        uc = self.uncond_context(1) if self.guidance_scale != 1.0 else None
+        if image_tokens is not None:
+            ctx = jnp.concatenate([ctx, image_tokens], axis=1)
+            if uc is not None:
+                uc = jnp.concatenate(
+                    [uc, jnp.zeros_like(image_tokens)], axis=1)
+        latents, _ = self.sample_latents_from_context(
+            ctx, uc, key, latent_shape=(height // 8, width // 8, 4),
             frames=frames)
         return self._decode(self.model.vae_params, latents)[0]
 

@@ -6,7 +6,10 @@ so this module sets it at import time (pytest imports conftest first).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the environment presets JAX_PLATFORMS=axon (remote TPU tunnel,
+# ~25 ms per eager dispatch) — setdefault would silently keep it and the
+# 8-virtual-device mesh would never materialize.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,7 +18,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon jax plugin PREPENDS itself to jax_platforms at import, ignoring
+# the env var — override the config directly.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# this CPU jaxlib defaults matmuls to a low-precision path even for f32
+# inputs (~1e-2 error vs numpy); parity tests need true f32
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
 

@@ -55,7 +55,9 @@ def test_conv2d_stride2_parity():
     conv = torch.nn.Conv2d(4, 4, 3, stride=2, padding=1)
     x = torch.randn(1, 4, 8, 8)
     want = _t2n(conv(x)).transpose(0, 2, 3, 1)
-    fconv = nn.Conv(4, (3, 3), strides=(2, 2))
+    # explicit (1,1) padding — flax SAME pads (0,1) for stride 2 on even
+    # dims, misaligning windows vs torch (models/unet3d.Downsample matches)
+    fconv = nn.Conv(4, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
     params = {"params": {
         "kernel": _t2n(conv.weight).transpose(2, 3, 1, 0),
         "bias": _t2n(conv.bias)}}

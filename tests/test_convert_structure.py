@@ -211,7 +211,8 @@ def test_vae_convert_structure_matches_init():
     recon = m.apply(converted, x)
     assert recon.shape == (2, 32, 32, 3)
     mean, logvar = m.apply(converted, x, method=m.encode_moments)
-    assert mean.shape == (2, 8, 8, VCFG.embed_dim)
+    # VCFG has 2 levels → one 2× downsample: 32 → 16
+    assert mean.shape == (2, 16, 16, VCFG.embed_dim)
 
 
 def _syn_clip_sd(cfg: CLIPTextConfig):

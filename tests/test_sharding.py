@@ -37,7 +37,7 @@ def test_sharded_unet_apply_matches_unsharded():
     x = jax.random.normal(jax.random.PRNGKey(0), (16, 4, 8, 8, 4))
     t = jnp.tile(jnp.arange(4)[None], (16, 1))
     ctx = jnp.zeros((16, 7, 16))
-    with jax.sharding.use_mesh(mesh):
+    with jax.set_mesh(mesh):
         got = jax.jit(sharded)(params, x, t, ctx)
     want = unet_apply(params, x, t, ctx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
