@@ -141,9 +141,8 @@ def _packed_tiny_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, heads, d):
     q = q_ref[...]  # [nb, S, C]
     k = k_ref[...]
     v = v_ref[...]
-    c = q.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, dimension=2)
-    acc = jnp.zeros(q.shape, jnp.float32)
+    o_ref[...] = jnp.zeros_like(o_ref)
     for hh in range(heads):
         mask = jnp.logical_and(lane >= hh * d, lane < (hh + 1) * d)
         km = jnp.where(mask, k, jnp.zeros_like(k))
@@ -155,10 +154,12 @@ def _packed_tiny_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, heads, d):
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         vm = jnp.where(mask, v, jnp.zeros_like(v))
-        acc = acc + jax.lax.dot_general(
+        out = jax.lax.dot_general(
             p.astype(v.dtype), vm, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-    o_ref[...] = acc.astype(o_ref.dtype)
+        # heads occupy disjoint lanes → accumulate directly in the output
+        # buffer (adding zeros elsewhere); no fp32 scratch needed
+        o_ref[...] += out.astype(o_ref.dtype)
 
 
 def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -168,7 +169,9 @@ def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     n, s, c = q.shape
     d = c // heads
     scale = d**-0.5
-    nb = 128
+    # nb=64 keeps the kernel stack under the 16MB VMEM scoped limit with
+    # double-buffered IO (nb=128 OOMed at the T2V batch shape)
+    nb = 64
     while n % nb:
         nb //= 2
     grid = (n // nb,)
