@@ -12,6 +12,7 @@ Layout convention: video tensors are channels-last [B, T, H, W, C]
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Optional
 
 import jax
@@ -38,15 +39,33 @@ class LatentDiffusion:
         self._clip = CLIPTextEncoder(self.clip_cfg)
 
     # -- denoiser ----------------------------------------------------------
-    def apply_unet(self, params, x, t_frames, context, fps=16):
+    def apply_unet(self, params, x, t_frames, context, fps=16,
+                   c_concat=None):
         """eps prediction; x [B,T,h,w,C], t_frames [B,T], context [B,L,D].
 
-        Multiple context tensors (e.g. the conditioned_prompt appended in
-        videocrafter_main.py:210-211) should be concatenated on the token
-        axis by the caller — DiffusionWrapper's crossattn path
-        (ddpm3d.py:710-712) does `torch.cat(c_crossattn, 1)`.
+        Conditioning modes (DiffusionWrapper dispatch, ddpm3d.py:702-763):
+          * crossattn (shipped config): multiple context tensors (e.g. the
+            conditioned_prompt appended in videocrafter_main.py:210-211) are
+            concatenated on the token axis by the caller (`torch.cat(…, 1)`).
+          * concat / hybrid: `c_concat` [B,T,h,w,Cc] is concatenated on the
+            channel axis (requires a U-Net built with matching in_channels).
+        The remaining 9 reference modes belong to model variants that ship
+        no config; they raise in config.py rather than silently misbehave.
         """
+        if c_concat is not None:
+            x = jnp.concatenate([x, c_concat], axis=-1)
         return self._unet.apply(params, x, t_frames, context, fps=fps)
+
+    def count_params(self) -> dict:
+        """Parameter counts per tower (utils/utils.py:8 count_params)."""
+        def count(tree):
+            return sum(int(math.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+        return {
+            "unet": count(self.unet_params),
+            "vae": count(self.vae_params),
+            "clip": count(self.clip_params),
+        }
 
     # -- text --------------------------------------------------------------
     def encode_tokens(self, tokens, params=None) -> jnp.ndarray:
