@@ -45,10 +45,17 @@ def _use_pallas(q, k, v, bias) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
-    # Profiled on v5e (FIFO step): the flash kernel hits ~78% MFU at S=2560;
-    # short self-attentions (160/640) go through the batched-rows small-S
-    # kernel inside flash_attention (per-(b,h) grids cost 62 ms at S=160).
-    return q.shape[1] >= 128 and k.shape[1] >= 128 and q.shape[-1] in (64, 128)
+    if q.shape[-1] not in (64, 128):
+        return False
+    sq, sk = q.shape[1], k.shape[1]
+    # Profiled on v5e (FIFO step):
+    #  * large self-attention (S=2560) → flash kernel;
+    #  * short self-attention (160/640) → batched-rows small-S kernel
+    #    (per-(b,h) grids cost 62 ms at S=160);
+    #  * text cross-attention (sk=77) stays on XLA — a pallas route was
+    #    measured 40 ms/step SLOWER (head-transpose copies outweigh the
+    #    avoided fp32 logits at kv=77).
+    return sq >= 128 and sk >= 128
 
 
 def use_packed_tiny(seq_len: int, kv_len: int, bias,

@@ -210,8 +210,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     # Env overrides for tuning sweeps (must divide the sequence).
     bq_env = int(os.environ.get("MOCA_TPU_FA_BQ", "0"))
     bkv_env = int(os.environ.get("MOCA_TPU_FA_BKV", "0"))
-    bq = bq_env if bq_env and sq % bq_env == 0 else _pick_block(sq)
-    bkv = bkv_env if bkv_env and sk % bkv_env == 0 else _pick_block(sk)
+    # larger blocks amortize per-program overhead (FIFO bench sweep:
+    # bq=512/bkv=512 → 2.38 s/frame, 1280/512 → 2.30, 1280/640 → 2.23)
+    bq = bq_env if bq_env and sq % bq_env == 0 else _pick_block(
+        sq, candidates=(1280, 1024, 512, 256, 128, 64, 32, 16, 8))
+    bkv = bkv_env if bkv_env and sk % bkv_env == 0 else _pick_block(
+        sk, candidates=(640, 512, 256, 128, 64, 32, 16, 8))
     nq, nkv = sq // bq, sk // bkv
     scale = d**-0.5
 
