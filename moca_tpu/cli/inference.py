@@ -38,6 +38,12 @@ def build_parser():
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--ddim_eta", type=float, default=1.0)
     p.add_argument("--unconditional_guidance_scale", type=float, default=12.0)
+    p.add_argument("--unconditional_guidance_scale_temporal", type=float,
+                   default=None, help="temporal consistency guidance "
+                   "(inference.py:36; implemented for real — the reference "
+                   "swallows the flag, see DECISIONS.md)")
+    p.add_argument("--n_samples", type=int, default=1,
+                   help="samples per prompt (inference.py:27)")
     p.add_argument("--height", type=int, default=320)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--frames", type=int, default=16)
@@ -98,7 +104,8 @@ def main(args):
     pipe = T2VPipeline.build(
         model, load_tokenizer(args.bpe_path), num_steps=args.ddim_steps,
         eta=args.ddim_eta, use_scale=cfg.diffusion.use_scale,
-        guidance_scale=args.unconditional_guidance_scale, fps=args.fps)
+        guidance_scale=args.unconditional_guidance_scale, fps=args.fps,
+        temporal_cfg_scale=args.unconditional_guidance_scale_temporal)
 
     with open(args.prompt_file) as f:
         prompts = [l.strip() for l in f if l.strip()]

@@ -40,7 +40,7 @@ class LatentDiffusion:
 
     # -- denoiser ----------------------------------------------------------
     def apply_unet(self, params, x, t_frames, context, fps=16,
-                   c_concat=None):
+                   c_concat=None, no_temporal_attn=False):
         """eps prediction; x [B,T,h,w,C], t_frames [B,T], context [B,L,D].
 
         Conditioning modes (DiffusionWrapper dispatch, ddpm3d.py:702-763):
@@ -54,7 +54,8 @@ class LatentDiffusion:
         """
         if c_concat is not None:
             x = jnp.concatenate([x, c_concat], axis=-1)
-        return self._unet.apply(params, x, t_frames, context, fps=fps)
+        return self._unet.apply(params, x, t_frames, context, fps=fps,
+                                no_temporal_attn=no_temporal_attn)
 
     def count_params(self) -> dict:
         """Parameter counts per tower (utils/utils.py:8 count_params)."""

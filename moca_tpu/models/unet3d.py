@@ -592,7 +592,8 @@ class UNet3D(nn.Module):
             return Upsample(spec["out_ch"], name=f"{prefix}_up", **common)
         raise ValueError(kind)
 
-    def _apply_block(self, layers, h, emb, context, batch_size):
+    def _apply_block(self, layers, h, emb, context, batch_size,
+                     no_temporal_attn=False):
         for spec, layer in layers:
             kind = spec["kind"]
             if kind in ("conv_in", "down", "up"):
@@ -602,6 +603,14 @@ class UNet3D(nn.Module):
             elif kind == "spatial":
                 h = layer(h, context)
             elif kind == "temporal":
+                if no_temporal_attn:
+                    # temporal-CFG image branch (ddim.py:313-316 passes
+                    # no_temporal_attn=True through apply_model); params
+                    # must still be created for a consistent tree, so the
+                    # layer runs under stop-everything only when tracing
+                    # init — at apply time we simply skip it.
+                    if not self.is_initializing():
+                        continue
                 bt, hh, ww, c = h.shape
                 t = bt // batch_size
                 v = h.reshape(batch_size, t, hh, ww, c)
@@ -610,7 +619,11 @@ class UNet3D(nn.Module):
         return h
 
     @nn.compact
-    def __call__(self, x, timesteps, context, fps=16):
+    def __call__(self, x, timesteps, context, fps=16, no_temporal_attn=False):
+        """no_temporal_attn: skip temporal transformers (the image branch of
+        temporal CFG). NOTE the reference's flag is silently swallowed —
+        ddim.py:315 passes it into **kwargs that openaimodel3d.py:534 never
+        reads, making its temporal CFG a no-op (see DECISIONS.md)."""
         cfg = self.cfg
         b, t, hh, ww, _ = x.shape
         assert timesteps.ndim == 2, "timesteps must be [B, T] (per-frame, first-class)"
@@ -640,27 +653,29 @@ class UNet3D(nn.Module):
         in_plan, mid_plan, out_plan = unet_plan(cfg)
 
         hs = []
+        nta = no_temporal_attn
         for i, block in enumerate(in_plan):
             layers = [(s, self._make_layer(s, f"in{i}_{j}"))
                       for j, s in enumerate(block)]
-            h = self._apply_block(layers, h, emb, ctx, b)
+            h = self._apply_block(layers, h, emb, ctx, b, nta)
             if i == 0 and cfg.addition_attention:
                 init_spec = dict(kind="temporal", in_ch=cfg.model_channels,
                                  out_ch=cfg.model_channels, heads=8,
                                  dim_head=cfg.num_head_channels)
                 init_layer = self._make_layer(init_spec, "init")
-                h = self._apply_block([(init_spec, init_layer)], h, emb, ctx, b)
+                h = self._apply_block([(init_spec, init_layer)], h, emb, ctx,
+                                      b, nta)
             hs.append(h)
 
         mid_layers = [(s, self._make_layer(s, f"mid_{j}"))
                       for j, s in enumerate(mid_plan)]
-        h = self._apply_block(mid_layers, h, emb, ctx, b)
+        h = self._apply_block(mid_layers, h, emb, ctx, b, nta)
 
         for i, block in enumerate(out_plan):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             layers = [(s, self._make_layer(s, f"out{i}_{j}"))
                       for j, s in enumerate(block)]
-            h = self._apply_block(layers, h, emb, ctx, b)
+            h = self._apply_block(layers, h, emb, ctx, b, nta)
 
         h = GroupNorm32(32, name="out_norm", param_dtype=cfg.param_dtype)(h)
         h = nn.silu(h)

@@ -30,14 +30,18 @@ class T2VPipeline:
     tokenizer: object
     guidance_scale: float = 12.0  # videocrafter_main.py:251
     fps: int = 10
+    uc_type: object = None               # ddim.py:303-311 CFG variants
+    temporal_cfg_scale: object = None    # funcs.py:121 temporal guidance
 
     @classmethod
     def build(cls, model, tokenizer, num_steps: int = 50, eta: float = 1.0,
               use_scale: bool = True, guidance_scale: float = 12.0,
-              fps: int = 10, **sched_kw):
+              fps: int = 10, uc_type=None, temporal_cfg_scale=None,
+              **sched_kw):
         sch = make_schedule(ddim_num_steps=num_steps, ddim_eta=eta,
                             use_scale=use_scale, **sched_kw)
-        return cls(model, sch, tokenizer, guidance_scale, fps)
+        return cls(model, sch, tokenizer, guidance_scale, fps,
+                   uc_type=uc_type, temporal_cfg_scale=temporal_cfg_scale)
 
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -61,7 +65,9 @@ class T2VPipeline:
         ctx, uc = contexts
         eps_fn = make_cfg_eps_fn(
             self.model.apply_unet, params,
-            ctx, uc, self.guidance_scale, fps=self.fps)
+            ctx, uc, self.guidance_scale, fps=self.fps,
+            uc_type=self.uc_type,
+            temporal_guidance_scale=self.temporal_cfg_scale)
         return ddim_sample(eps_fn, self.sch, shape, key)
 
     def sample_latents(

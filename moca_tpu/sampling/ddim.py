@@ -30,16 +30,44 @@ def make_cfg_eps_fn(
     uncond_context: Optional[jnp.ndarray],
     guidance_scale: float,
     fps=16,
+    uc_type: Optional[str] = None,
+    temporal_guidance_scale: Optional[float] = None,
 ) -> Callable:
     """Build eps_fn with classifier-free guidance fused into one forward.
 
     Stacks [cond | uncond] on the batch axis — one U-Net call, MXU-friendly
     (vs ddim.py:295-299's two sequential calls).
+
+    uc_type: None (standard CFG) | 'cfg_original' | 'cfg_ours'
+    (ddim.py:303-311). temporal_guidance_scale adds
+    s_t·(e_temporal − e_no_temporal_attn) (ddim.py:313-316) — implemented
+    with the temporal layers actually skipped; the reference drops the
+    `no_temporal_attn` flag on the floor (DECISIONS.md), making its
+    temporal CFG a silent no-op.
     """
+
+    def combine(e_c, e_u):
+        if uc_type is None:
+            return e_u + guidance_scale * (e_c - e_u)
+        if uc_type == "cfg_original":
+            return e_c + guidance_scale * (e_c - e_u)
+        if uc_type == "cfg_ours":
+            return e_c + guidance_scale * (e_u - e_c)
+        raise NotImplementedError(uc_type)
+
+    def temporal_term(x, t_frames):
+        if temporal_guidance_scale is None:
+            return None
+        e_t = unet_apply(params, x, t_frames, context, fps)
+        e_i = unet_apply(params, x, t_frames, context, fps,
+                         no_temporal_attn=True)
+        return temporal_guidance_scale * (e_t - e_i)
 
     def eps_fn(x, t_frames):
         if uncond_context is None or guidance_scale == 1.0:
-            return unet_apply(params, x, t_frames, context, fps)
+            eps = unet_apply(params, x, t_frames, context, fps)
+            tt = temporal_term(x, t_frames)
+            return eps if tt is None else eps + tt
         b = x.shape[0]
         # INTERLEAVED cond/uncond (row 2i = cond_i, row 2i+1 = uncond_i):
         # under a sharded window batch each device holds both halves of its
@@ -55,7 +83,9 @@ def make_cfg_eps_fn(
         eps = unet_apply(params, x2, t2, ctx2, fps)
         pairs = eps.reshape((b, 2) + eps.shape[1:])
         e_c, e_u = pairs[:, 0], pairs[:, 1]
-        return e_u + guidance_scale * (e_c - e_u)
+        out = combine(e_c, e_u)
+        tt = temporal_term(x, t_frames)
+        return out if tt is None else out + tt
 
     return eps_fn
 
