@@ -129,26 +129,31 @@ def main(args):
     os.makedirs(args.savedir, exist_ok=True)
     for i, prompt in enumerate(shard):
         t0 = time.time()
-        key = jax.random.fold_in(jax.random.PRNGKey(args.seed),
-                                 args.rank * per + i)
         img_tokens = None
         if cond_images is not None:
             # image tokens appended to the text context on the token axis
             # (inference.py:110-117)
             img = cond_images[(args.rank * per + i) % len(cond_images)]
             img_tokens = model.get_image_embeds(img[None])
-        if args.freeinit_iters > 1:
-            video = pipe.sample_with_freeinit(
-                prompt, key, iterations=args.freeinit_iters,
-                height=args.height, width=args.width, frames=args.frames)
-        else:
-            video = pipe(prompt, key, height=args.height, width=args.width,
-                         frames=args.frames, image_tokens=img_tokens)
-        name = prompt[:100].replace("/", "_")
-        save_video([np.asarray(v) for v in video],
-                   os.path.join(args.savedir, f"{name}.mp4"),
-                   fps=args.savefps)
-        log.info("[%d/%d] %.1fs %s", i + 1, len(shard), time.time() - t0, name)
+        for s in range(args.n_samples):
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(args.seed),
+                (args.rank * per + i) * max(args.n_samples, 1) + s)
+            if args.freeinit_iters > 1:
+                video = pipe.sample_with_freeinit(
+                    prompt, key, iterations=args.freeinit_iters,
+                    height=args.height, width=args.width, frames=args.frames)
+            else:
+                video = pipe(prompt, key, height=args.height,
+                             width=args.width, frames=args.frames,
+                             image_tokens=img_tokens)
+            name = prompt[:100].replace("/", "_")
+            suffix = f"_{s}" if args.n_samples > 1 else ""
+            save_video([np.asarray(v) for v in video],
+                       os.path.join(args.savedir, f"{name}{suffix}.mp4"),
+                       fps=args.savefps)
+        log.info("[%d/%d] %.1fs %s", i + 1, len(shard), time.time() - t0,
+                 prompt[:60])
 
 
 if __name__ == "__main__":

@@ -64,16 +64,16 @@ def use_packed_tiny(seq_len: int, kv_len: int, bias,
     packed-heads Pallas kernel — avoids XLA's head-major transposes and HBM
     logits (~430 ms/step profiled at the flagship FIFO shape).
 
-    Restricted to C ≤ 320 (the level-1 temporal layers, the dominant cost):
-    wider channels blow VMEM under the pipeline's double buffering and crash
-    the Mosaic compiler (verified on v5e for C ∈ {512, 640, 1280})."""
+    All temporal widths (C ∈ {320, 512, 640, 1280}) validated on v5e with
+    rows-per-program scaled to channel width (fixed nb blew the 16MB scoped
+    VMEM and crashed the Mosaic compiler at C ≥ 512)."""
     import os
 
     if os.environ.get("MOCA_TPU_NO_PALLAS"):
         return False
     return (bias is None and jax.default_backend() == "tpu"
             and seq_len == kv_len and seq_len <= 32 and seq_len % 8 == 0
-            and 0 < channels <= 320)
+            and 0 < channels <= 1280)
 
 
 def packed_attention(q, k, v, heads: int):

@@ -169,9 +169,11 @@ def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     n, s, c = q.shape
     d = c // heads
     scale = d**-0.5
-    # nb=64 keeps the kernel stack under the 16MB VMEM scoped limit with
-    # double-buffered IO (nb=128 OOMed at the T2V batch shape)
-    nb = 64
+    # scale rows-per-program with channel width to stay under the 16MB
+    # scoped VMEM limit with double-buffered IO (nb=128 at C=320 OOMed at
+    # the T2V batch shape; wider channels need proportionally fewer rows)
+    nb = max(8, (64 * 320) // c)
+    nb = 1 << (nb.bit_length() - 1)  # round down to a power of two
     while n % nb:
         nb //= 2
     grid = (n // nb,)
