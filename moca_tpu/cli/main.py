@@ -180,3 +180,7 @@ def main(args):
 
 if __name__ == "__main__":
     main(build_parser().parse_args())
+
+
+def _entry():
+    main(build_parser().parse_args())

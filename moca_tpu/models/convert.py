@@ -21,7 +21,7 @@ module naming cannot drift from the weight mapping.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Mapping
+from typing import Dict, Mapping
 
 import numpy as np
 
