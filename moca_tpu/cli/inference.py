@@ -146,7 +146,8 @@ def main(args):
             else:
                 video = pipe(prompt, key, height=args.height,
                              width=args.width, frames=args.frames,
-                             image_tokens=img_tokens)
+                             image_tokens=img_tokens,
+                             use_ddpm=args.ddim_steps <= 0)
             name = prompt[:100].replace("/", "_")
             suffix = f"_{s}" if args.n_samples > 1 else ""
             save_video([np.asarray(v) for v in video],

@@ -38,7 +38,9 @@ class T2VPipeline:
               use_scale: bool = True, guidance_scale: float = 12.0,
               fps: int = 10, uc_type=None, temporal_cfg_scale=None,
               **sched_kw):
-        sch = make_schedule(ddim_num_steps=num_steps, ddim_eta=eta,
+        # num_steps ≤ 0 selects ancestral DDPM sampling (inference.py:28);
+        # the DDIM buffers still need a valid length for the schedule pytree
+        sch = make_schedule(ddim_num_steps=max(num_steps, 1), ddim_eta=eta,
                             use_scale=use_scale, **sched_kw)
         return cls(model, sch, tokenizer, guidance_scale, fps,
                    uc_type=uc_type, temporal_cfg_scale=temporal_cfg_scale)
@@ -98,14 +100,29 @@ class T2VPipeline:
         return self._sample_latents(
             self.model.unet_params, (ctx, uc), key, (1, frames, h, w, c))
 
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _sample_latents_ddpm(self, params, contexts, key, shape):
+        """Ancestral DDPM sampling (the reference's ddim_steps≤0 path,
+        inference.py:28)."""
+        from moca_tpu.sampling.ddpm import ddpm_sample
+
+        ctx, uc = contexts
+        eps_fn = make_cfg_eps_fn(
+            self.model.apply_unet, params, ctx, uc, self.guidance_scale,
+            fps=self.fps, uc_type=self.uc_type,
+            temporal_guidance_scale=self.temporal_cfg_scale)
+        return ddpm_sample(eps_fn, self.sch, shape, key)
+
     def __call__(self, prompt: str, key: jax.Array,
                  height: int = 320, width: int = 512, frames: int = 16,
-                 image_tokens: Optional[jnp.ndarray] = None):
+                 image_tokens: Optional[jnp.ndarray] = None,
+                 use_ddpm: bool = False):
         """prompt → video frames [T, H, W, 3] float in [-1, 1].
 
         image_tokens: optional [1, N, context_dim] i2v tokens appended to the
         text context (and zero-image tokens to the uncond context, matching
-        batch_ddim_sampling's uc_img, funcs.py:136-141)."""
+        batch_ddim_sampling's uc_img, funcs.py:136-141).
+        use_ddpm: full ancestral sampling instead of DDIM."""
         ctx = self.encode_prompts([prompt])
         uc = self.uncond_context(1) if self.guidance_scale != 1.0 else None
         if image_tokens is not None:
@@ -113,9 +130,13 @@ class T2VPipeline:
             if uc is not None:
                 uc = jnp.concatenate(
                     [uc, jnp.zeros_like(image_tokens)], axis=1)
-        latents, _ = self.sample_latents_from_context(
-            ctx, uc, key, latent_shape=(height // 8, width // 8, 4),
-            frames=frames)
+        shape = (1, frames, height // 8, width // 8, 4)
+        if use_ddpm:
+            latents = self._sample_latents_ddpm(
+                self.model.unet_params, (ctx, uc), key, shape)
+        else:
+            latents, _ = self.sample_latents_from_context(
+                ctx, uc, key, latent_shape=shape[2:], frames=frames)
         return self._decode(self.model.vae_params, latents)[0]
 
     # ------------------------------------------------------------------

@@ -43,6 +43,55 @@ def test_sharded_unet_apply_matches_unsharded():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
 
+def test_sharded_fifo_step_matches_unsharded():
+    """The mesh-sharded FIFO step must be numerically identical to the
+    single-device step (sharding is layout, not math)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import numpy as np
+    from moca_tpu.models.unet3d import UNetConfig, UNet3D
+    from moca_tpu.sampling.ddim import make_cfg_eps_fn
+    from moca_tpu.sampling.fifo import fifo_step, make_fifo_plan
+    from moca_tpu.sampling.moca import MoCAConfig
+    from moca_tpu.schedule import make_schedule
+
+    f, n_part = 4, 2
+    mesh = make_mesh((2, 4))
+    cfg = UNetConfig(model_channels=32, num_head_channels=8, context_dim=16,
+                     channel_mult=(1, 2), attention_resolutions=(1, 2),
+                     num_res_blocks=1, temporal_length=f)
+    unet = UNet3D(cfg)
+    h = w = 8
+    B = 2
+    params = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, f, h, w, 4)),
+                       jnp.zeros((1, f), jnp.int32),
+                       jnp.zeros((1, 7, cfg.context_dim)), fps=16)
+    sch = make_schedule(ddim_num_steps=f * n_part, ddim_eta=1.0)
+    import numpy as _np
+    plan = make_fifo_plan(_np.asarray(sch.ddim_timesteps), f, n_part, True)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 7, cfg.context_dim))
+    uc = jnp.zeros_like(ctx)
+    latents = jax.random.normal(jax.random.PRNGKey(2),
+                                (B, plan.queue_length, h, w, 4))
+
+    def apply(p, xx, tt, cc, fps=16):
+        return unet.apply(p, xx, tt, cc, fps=fps)
+
+    def run(unet_apply):
+        eps_fn = make_cfg_eps_fn(unet_apply, params, ctx, uc, 7.5)
+        return fifo_step(eps_fn, sch, plan, MoCAConfig(), latents,
+                         jax.random.PRNGKey(3))
+
+    plain_latents, plain_head = jax.jit(lambda: run(apply))()
+    sharded_apply = make_sharded_unet_apply(apply, mesh)
+    with jax.set_mesh(mesh):
+        sh_latents, sh_head = jax.jit(lambda: run(sharded_apply))()
+    np.testing.assert_allclose(np.asarray(sh_latents),
+                               np.asarray(plain_latents), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sh_head), np.asarray(plain_head),
+                               atol=2e-5)
+
+
 def test_dryrun_multichip_8():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
