@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fixed mode: let concept injection reach the FIFO "
                         "queue (the reference computes x_prev before "
                         "injection — see DECISIONS.md)")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="mid-FIFO fault tolerance: snapshot the queue every "
+                        "N output frames; a killed run resumes bit-exactly "
+                        "(feature absent in the reference)")
     return p
 
 
@@ -103,7 +107,8 @@ def load_pipeline(args) -> MoCAVideoPipeline:
         guidance_scale=args.unconditional_guidance_scale,
         eta=args.eta, fps=args.fps,
         lookahead_denoising=args.lookahead_denoising,
-        moca=moca, use_scale=cfg.diffusion.use_scale)
+        moca=moca, use_scale=cfg.diffusion.use_scale,
+        checkpoint_every=args.checkpoint_every)
 
 
 def set_directory(args, prompt: str, conditioned_image_path: str):

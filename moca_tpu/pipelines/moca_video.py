@@ -59,6 +59,11 @@ class MoCAVideoPipeline:
     use_scale: bool = True
     mesh: Optional[object] = None  # jax.sharding.Mesh → shard windows on ICI
     decode_batch: int = 8  # head frames decoded per batched VAE call
+    # mid-FIFO checkpointing (NEW vs reference — SURVEY §5.4: the reference
+    # can only resume from the base-latent cache, not mid-stream): every
+    # `checkpoint_every` output frames the queue state is snapshotted; a
+    # killed run restarts from the last snapshot.
+    checkpoint_every: int = 0  # 0 = off
 
     def __post_init__(self):
         self.num_inference_steps = self.video_length * self.num_partitions
@@ -216,6 +221,31 @@ class MoCAVideoPipeline:
         j = 0
         pending_heads: List = []
 
+        # --- mid-FIFO resume (snapshot = queue + masks + emitted frames) ---
+        ckpt_path = (os.path.join(latents_dir, "fifo_state.npz")
+                     if latents_dir and self.checkpoint_every else None)
+        start_i = 0
+        if ckpt_path and os.path.exists(ckpt_path):
+            snap = np.load(ckpt_path)
+            start_i = int(snap["i"])
+            latents = jnp.asarray(snap["latents"])
+            if mask_queue is not None and "mask_queue" in snap:
+                mask_queue = jnp.asarray(snap["mask_queue"])
+            frames_out = [f for f in snap["frames"]]
+            j = int(snap["j"])
+
+        def checkpoint(i):
+            if not ckpt_path:
+                return
+            flush()
+            payload = dict(i=i + 1, j=j, latents=np.asarray(latents),
+                           frames=np.stack(frames_out) if frames_out
+                           else np.zeros((0,), np.float32))
+            if mask_queue is not None:
+                payload["mask_queue"] = np.asarray(mask_queue)
+            np.savez(ckpt_path + ".tmp.npz", **payload)
+            os.replace(ckpt_path + ".tmp.npz", ckpt_path)
+
         def flush():
             if not pending_heads:
                 return
@@ -229,7 +259,7 @@ class MoCAVideoPipeline:
                     frame_callback(base + n, frame)
             pending_heads.clear()
 
-        for i in range(total):
+        for i in range(start_i, total):
             step_ctx = ctx
             if prompt_schedule is not None:
                 embeds, lengths = prompt_schedule
@@ -248,5 +278,9 @@ class MoCAVideoPipeline:
             pending_heads.append(head)
             if len(pending_heads) >= self.decode_batch:
                 flush()
+            if self.checkpoint_every and (i + 1) % self.checkpoint_every == 0:
+                checkpoint(i)
         flush()
+        if ckpt_path and os.path.exists(ckpt_path):
+            os.remove(ckpt_path)  # completed — drop the snapshot
         return frames_out
