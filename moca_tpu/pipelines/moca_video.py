@@ -216,6 +216,9 @@ class MoCAVideoPipeline:
         if multiprompts:
             total = (int(prompt_schedule[1][-1])
                      + self.num_inference_steps - self.video_length)
+        from moca_tpu.utils.profiling import StepTimer
+        timer = StepTimer()
+
         frames_out: List[np.ndarray] = []
         iter_keys = jax.random.split(k_fifo, total)
         j = 0
@@ -250,8 +253,9 @@ class MoCAVideoPipeline:
             if not pending_heads:
                 return
             batch = jnp.concatenate(pending_heads, axis=0)
-            decoded = np.asarray(
-                self._decode_heads(self.model.vae_params, batch))
+            with timer.stage("decode"):
+                decoded = np.asarray(
+                    self._decode_heads(self.model.vae_params, batch))
             base = len(frames_out)
             for n, frame in enumerate(decoded):
                 frames_out.append(frame)
@@ -267,9 +271,11 @@ class MoCAVideoPipeline:
                         >= lengths[j]) and j + 1 < len(embeds):
                     j += 1  # funcs.py:427-431
                 step_ctx = embeds[j]
-            latents, head = self._fifo_iteration(
-                self.model.unet_params, latents, (step_ctx, uc), cond,
-                mask_queue, g, iter_keys[i], masks is not None, anchor=anchor)
+            with timer.stage("fifo_iteration"):
+                latents, head = self._fifo_iteration(
+                    self.model.unet_params, latents, (step_ctx, uc), cond,
+                    mask_queue, g, iter_keys[i], masks is not None,
+                    anchor=anchor)
             if mask_queue is not None:
                 mask_queue = shift_masks(
                     mask_queue, jnp.asarray(mask_tail_src, jnp.float32))
@@ -283,4 +289,5 @@ class MoCAVideoPipeline:
         flush()
         if ckpt_path and os.path.exists(ckpt_path):
             os.remove(ckpt_path)  # completed — drop the snapshot
+        timer.report()  # one JSON line when MOCA_TPU_PROFILE=1
         return frames_out
