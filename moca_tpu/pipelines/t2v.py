@@ -169,19 +169,20 @@ class T2VPipeline:
                 jax.random.normal(k_samp, latents.shape, jnp.float32), -1, 1)
             mixed = freeinit.freq_mix_3d(x, n, lpf)
             x_T = jnp.moveaxis(mixed, 1, -1)
-            latents, _ = ddim_from_xt(self, (ctx, uc), x_T)
+            latents, _ = ddim_from_xt(self, (ctx, uc), x_T, key=k_samp)
         return self._decode(self.model.vae_params, latents)[0]
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _ddim_from_xt_jit(pipe: T2VPipeline, params, contexts, x_T):
+def _ddim_from_xt_jit(pipe: T2VPipeline, params, contexts, x_T, key):
     ctx, uc = contexts
     eps_fn = make_cfg_eps_fn(
         pipe.model.apply_unet, params,
         ctx, uc, pipe.guidance_scale, fps=pipe.fps)
-    return ddim_sample(eps_fn, pipe.sch, x_T.shape, jax.random.PRNGKey(0),
-                       x_T=x_T)
+    return ddim_sample(eps_fn, pipe.sch, x_T.shape, key, x_T=x_T)
 
 
-def ddim_from_xt(pipe: T2VPipeline, contexts, x_T):
-    return _ddim_from_xt_jit(pipe, pipe.model.unet_params, contexts, x_T)
+def ddim_from_xt(pipe: T2VPipeline, contexts, x_T, key=None):
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return _ddim_from_xt_jit(pipe, pipe.model.unet_params, contexts, x_T, key)
