@@ -1,0 +1,80 @@
+"""IO loaders: DAVIS directory layout, prompts CSV, conditioning image."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from moca_tpu.io.davis import get_davis_prompt, load_davis_data
+from moca_tpu.io.prompts import load_prompts
+from moca_tpu.io.video import load_conditioning_image
+
+
+@pytest.fixture
+def davis_root(tmp_path):
+    frames = tmp_path / "JPEGImages" / "480p" / "bear"
+    masks = tmp_path / "Annotations" / "480p" / "bear"
+    frames.mkdir(parents=True)
+    masks.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        Image.fromarray(
+            rng.integers(0, 255, (48, 64, 3), np.uint8), "RGB"
+        ).save(frames / f"{i:05d}.jpg")
+        m = np.zeros((48, 64), np.uint8)
+        m[10:30, 20:40] = 255
+        Image.fromarray(m, "L").save(masks / f"{i:05d}.png")
+    return str(tmp_path)
+
+
+def test_load_davis_data(davis_root):
+    frames, masks = load_davis_data("bear", davis_root, video_size=(4, 8),
+                                    video_frames=4)
+    # frames at 8× latent res, [-1,1]; masks binary at latent res
+    assert frames.shape == (4, 32, 64, 3)
+    # 1-ulp overshoot allowed: (x/255-0.5)*2 rounds 255 → 1.0000001, same
+    # as the reference's torch formula (funcs.py:565)
+    assert frames.min() >= -1.0 - 1e-6 and frames.max() <= 1.0 + 1e-6
+    assert masks.shape == (4, 4, 8)
+    assert set(np.unique(masks)) <= {0.0, 1.0}
+    assert masks.sum() > 0
+
+
+def test_load_davis_uniform_sampling(davis_root):
+    frames, _ = load_davis_data("bear", davis_root, video_size=(4, 8),
+                                video_frames=3,
+                                sampling_strategy="uniform")
+    assert frames.shape[0] == 3
+
+
+def test_davis_prompt_fallback(tmp_path):
+    assert get_davis_prompt("bear", str(tmp_path / "none.txt")) == "object bear"
+    ann = tmp_path / "ann.txt"
+    ann.write_text('bear 1 "a bear walking"\n')
+    assert get_davis_prompt("bear", str(ann)) == "object a bear walking"
+
+
+def test_load_prompts_real_csv():
+    rows = load_prompts("prompts/prompts.csv")
+    assert len(rows) >= 1
+    r = rows[0]
+    assert r["conditioned_prompt"].endswith(".")
+    assert isinstance(r["gamma"], float)
+    # prompt_index selection (funcs.py:511-522)
+    one = load_prompts("prompts/prompts.csv", prompt_index=1)
+    assert len(one) == 1 and one[0]["prompt"] == rows[1]["prompt"]
+    with pytest.raises(ValueError):
+        load_prompts("prompts/prompts.csv", prompt_index=10_000)
+
+
+def test_load_conditioning_image(tmp_path):
+    p = tmp_path / "cond.png"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (100, 80, 3), np.uint8)
+    ).save(p)
+    img = load_conditioning_image(str(p), (40, 64))
+    # latent-res RGBA in [0,1] (videocrafter_main.py:90-98 ToTensor range)
+    assert img.shape == (40, 64, 4)
+    assert img.min() >= 0.0 and img.max() <= 1.0

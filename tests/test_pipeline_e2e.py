@@ -86,6 +86,19 @@ def test_moca_pipeline_davis_mode(tiny_model):
     assert all(np.isfinite(f).all() for f in frames)
 
 
+def test_moca_pipeline_no_lookahead(tiny_model, tmp_path):
+    """funcs.py:306-354 non-lookahead branch: n windows, head slot 0."""
+    pipe = MoCAVideoPipeline(
+        tiny_model, HashTokenizer(), video_length=F, num_partitions=N,
+        new_video_length=2, guidance_scale=7.5, lookahead_denoising=False)
+    assert pipe.plan.num_windows == N
+    assert pipe.plan.head_slot == 0
+    frames = pipe("a mouse", jax.random.PRNGKey(9),
+                  height=HEIGHT, width=WIDTH, latents_dir=str(tmp_path))
+    assert len(frames) == 2 + F * N - F
+    assert all(np.isfinite(f).all() for f in frames)
+
+
 def test_moca_pipeline_multiprompt(tiny_model, tmp_path):
     pipe = MoCAVideoPipeline(
         tiny_model, HashTokenizer(), video_length=F, num_partitions=N,
