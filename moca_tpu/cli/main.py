@@ -169,13 +169,23 @@ def main(args):
             args, prompt, data["conditioned_image_path"])
         cond_image = load_conditioning_image(
             data["conditioned_image_path"], latent_hw)
+        frame_cb = None
+        if args.save_frames:
+            # per-frame PNG dump (funcs.py:362-365 fifo/{i}.png)
+            from moca_tpu.io.video import tensor_to_uint8
+            from moca_tpu.utils.visualization import VisualizationSink
+            sink = VisualizationSink(output_dir)
+
+            def frame_cb(i, frame, _sink=sink):
+                _sink.frame(i, tensor_to_uint8(frame))
+
         video = pipe(
             prompt, jax.random.fold_in(root_key, idx),
             cond_image=cond_image,
             conditioned_prompt=data["conditioned_prompt"],
             gamma=data["gamma"],
             height=args.height, width=args.width,
-            latents_dir=latents_dir)
+            latents_dir=latents_dir, frame_callback=frame_cb)
         out = os.path.join(output_dir, prompt[:100])
         keep = video[-(args.new_video_length // 2):]  # videocrafter_main.py:230
         save_video(keep, out + (".mp4" if args.use_mp4 else ".gif"),
