@@ -85,6 +85,26 @@ def load_conditioning_image(path: str, latent_hw: Tuple[int, int]) -> np.ndarray
     return np.asarray(img, np.float32) / 255.0
 
 
+def load_image_batch(paths: Sequence[str],
+                     image_size: Tuple[int, int] = (256, 256)) -> np.ndarray:
+    """Images (or first frames of mp4s) → [B, H, W, C] float32 in [-1, 1]
+    (funcs.py:576-597; png/jpg keep RGBA like the reference's convert)."""
+    batch: List[np.ndarray] = []
+    for path in paths:
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".mp4":
+            frame = load_video_frames(path, size=image_size, num_frames=1)[0]
+            batch.append(frame)
+            continue
+        if ext not in (".png", ".jpg", ".jpeg"):
+            raise NotImplementedError(
+                f"image loading supports mp4/png/jpg, got {ext}")
+        img = Image.open(path).convert("RGBA")
+        img = img.resize((image_size[1], image_size[0]), Image.BILINEAR)
+        batch.append(uint8_to_tensor(np.asarray(img, np.uint8)))
+    return np.stack(batch)
+
+
 def load_video_frames(path: str, size: Optional[Tuple[int, int]] = None,
                       num_frames: int = -1, stride: int = 1) -> np.ndarray:
     """mp4 → [T, H, W, 3] float32 in [-1,1] (decord replacement,

@@ -266,10 +266,11 @@ class MoCAVideoPipeline:
         for i in range(start_i, total):
             step_ctx = ctx
             if prompt_schedule is not None:
+                from moca_tpu.sampling.fifo import advance_prompt_index
                 embeds, lengths = prompt_schedule
-                if (i - (self.num_inference_steps - self.video_length)
-                        >= lengths[j]) and j + 1 < len(embeds):
-                    j += 1  # funcs.py:427-431
+                j = advance_prompt_index(
+                    i, self.num_inference_steps, self.video_length,
+                    lengths, j)  # funcs.py:427-431
                 step_ctx = embeds[j]
             with timer.stage("fifo_iteration"):
                 latents, head = self._fifo_iteration(

@@ -100,6 +100,18 @@ def make_fifo_plan(
                     timesteps.astype(np.int64), indices.astype(np.int64))
 
 
+def advance_prompt_index(i: int, num_steps: int, video_length: int,
+                         cum_lengths, j: int) -> int:
+    """Multi-prompt scene switching: advance the active prompt when the
+    output-frame counter passes the cumulative scene length
+    (funcs.py:425-431; the reference indexes past the end if lengths are
+    inconsistent — we clamp)."""
+    if (i - (num_steps - video_length) >= cum_lengths[j]
+            and j + 1 < len(cum_lengths)):
+        return j + 1
+    return j
+
+
 def queue_frame_indices(plan: FIFOPlan, num_source_frames: int):
     """(frame_idx[Q], ddim_idx[Q]): which source frame seeds each queue slot
     and at which DDIM noise level (funcs.py:55-77).

@@ -147,3 +147,21 @@ def test_shift_queue(sch):
     np.testing.assert_array_equal(np.asarray(out[:, :-1]), np.asarray(latents[:, 1:]))
     # new tail is a fresh draw, not a copy
     assert not np.allclose(np.asarray(out[:, -1]), np.asarray(latents[:, -1]))
+
+
+def test_advance_prompt_index():
+    """Scene switch timing (funcs.py:425-431): prompt j becomes active once
+    i - (S - f) reaches cum_lengths[j]; clamps at the last prompt."""
+    import numpy as np
+    cum = np.array([3, 5])  # scene0: 3 frames, scene1: 2 frames
+    S, f = 8, 4  # warmup S - f = 4 iterations
+    j = 0
+    seen = []
+    for i in range(5 + S - f):
+        j = fifo.advance_prompt_index(i, S, f, cum, j)
+        seen.append(j)
+    # warmup (i<4): i-4 < 0 < 3 → scene 0; switches at i-4 == 3 → i == 7
+    assert seen[:7] == [0] * 7
+    assert seen[7:] == [1, 1]
+    # clamped at the end even if i keeps growing
+    assert fifo.advance_prompt_index(100, S, f, cum, 1) == 1
