@@ -17,7 +17,6 @@ import argparse
 import os
 
 import jax
-import numpy as np
 
 from moca_tpu.config import load_model_config
 from moca_tpu.io.davis import get_davis_prompt, load_davis_data

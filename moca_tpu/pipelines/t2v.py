@@ -15,7 +15,6 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from moca_tpu import freeinit
 from moca_tpu.models.latent_diffusion import LatentDiffusion
