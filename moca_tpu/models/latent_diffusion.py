@@ -97,6 +97,20 @@ class LatentDiffusion:
         z = z.reshape((b, t) + z.shape[1:])
         return self.scale_factor * z
 
+    def encode_frame_moments(self, frames: jnp.ndarray, params=None):
+        """[N,H,W,3] → (mean, std) of the scaled-latent posterior.
+
+        The reference re-encodes the DAVIS anchor frame with a fresh
+        posterior sample on every FIFO shift (funcs.py:101-114); since the
+        encoder is deterministic, sampling `mean + std·ε` per shift from
+        moments computed once is bit-equivalent and saves T encoder passes.
+        """
+        params = self.vae_params if params is None else params
+        mean, logvar = self._vae.apply(params, frames,
+                                       method=self._vae.encode_moments)
+        return (self.scale_factor * mean,
+                self.scale_factor * jnp.exp(0.5 * logvar))
+
     def decode_latents(self, z: jnp.ndarray, params=None) -> jnp.ndarray:
         """[B,T,h,w,4] → frames [B,T,H,W,3] (decode_first_stage_2DAE,
         ddpm3d.py:556-562, batched)."""

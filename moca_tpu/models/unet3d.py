@@ -177,11 +177,14 @@ class TemporalConvBlock(nn.Module):
         for i, name in enumerate(["conv1", "conv2", "conv3", "conv4"]):
             x = GroupNorm32(32, name=f"{name}_norm", param_dtype=self.param_dtype)(x)
             x = nn.silu(x)
+            # spatial_aware widens only conv1/conv2; conv3/conv4 stay (3,1,1)
+            # in the reference (openaimodel3d.py:249-264)
+            kernel = ks if i < 2 else (3, 1, 1)
             if i == 3:
-                conv = _zero_conv(self.channels, ks if self.spatial_aware else (3, 1, 1),
+                conv = _zero_conv(self.channels, kernel,
                                   self.dtype, self.param_dtype, name=f"{name}_conv")
             else:
-                conv = nn.Conv(self.channels, ks, dtype=self.dtype,
+                conv = nn.Conv(self.channels, kernel, dtype=self.dtype,
                                param_dtype=self.param_dtype, name=f"{name}_conv")
             x = conv(x)
         return x + identity

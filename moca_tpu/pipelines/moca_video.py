@@ -95,12 +95,20 @@ class MoCAVideoPipeline:
         eps_fn = make_cfg_eps_fn(
             unet_apply, unet_params, ctx, uc,
             self.guidance_scale, fps=self.fps)
-        k_win, k_shift = jax.random.split(key)
+        k_win, k_shift, k_anchor = jax.random.split(key, 3)
         new_latents, head = fifo_step(
             eps_fn, self.sch, self.plan, self.moca, latents, k_win,
             cond_image=cond_image, masks=masks,
             masks_are_davis=masks_are_davis, gamma=gamma)
-        shifted = shift_queue(new_latents, k_shift, anchor=anchor)
+        # DAVIS anchor: fresh posterior sample per shift (the reference
+        # re-encodes the last real frame each shift, funcs.py:101-114;
+        # moments are precomputed so only the ε-draw happens here)
+        anchor_latent = None
+        if anchor is not None:
+            mean, std = anchor
+            anchor_latent = mean + std * jax.random.normal(
+                k_anchor, mean.shape, jnp.float32).astype(mean.dtype)
+        shifted = shift_queue(new_latents, k_shift, anchor=anchor_latent)
         return shifted, head
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -126,12 +134,10 @@ class MoCAVideoPipeline:
         if cache and os.path.exists(cache):
             data = np.load(cache)
             return jnp.asarray(data["latents"])
-        base_sch_pipe = T2VPipeline(
-            self.model,
-            make_schedule(ddim_num_steps=self.num_inference_steps,
-                          ddim_eta=self.eta, use_scale=self.use_scale),
-            self.tokenizer, guidance_scale=self.guidance_scale, fps=self.fps)
-        latents, x_T = base_sch_pipe.sample_latents(
+        # self.base already carries the identical schedule
+        # (ddim_num_steps=f·n, same eta/use_scale) — reusing it keeps the
+        # jitted DDIM scan cached across prompts instead of recompiling.
+        latents, x_T = self.base.sample_latents(
             prompt, key, latent_shape=latent_hw + (4,),
             frames=self.video_length)
         if cache:
@@ -188,14 +194,12 @@ class MoCAVideoPipeline:
         # 3. diagonal queue
         latents = prepare_queue(self.sch, self.plan, clean_latents, k_queue)
 
-        # DAVIS tail anchor: the reference re-encodes the LAST real frame as
-        # the FreeInit anchor on every shift (funcs.py:101-114). The frame is
-        # constant, so encode it once here.
+        # DAVIS tail anchor: the reference re-encodes the LAST real frame
+        # with a fresh posterior sample on every shift (funcs.py:101-114).
+        # Encode the moments once; each _fifo_iteration draws mean + std·ε.
         anchor = None
         if davis_frames is not None:
-            k_anchor, k_queue = jax.random.split(k_queue)
-            anchor = self.model.encode_frames(
-                davis_frames[None, -1:], rng=k_anchor)[:, 0]
+            anchor = self.model.encode_frame_moments(davis_frames[-1:])
 
         mask_queue = None
         if masks is not None:

@@ -157,7 +157,9 @@ class T2VPipeline:
                                           k0, shape)
         lpf = freeinit.get_freq_filter((frames, h, w), filter_type, 1, d_s, d_t)
         for _ in range(iterations - 1):
-            key, k_noise, k_samp = jax.random.split(key, 3)
+            # four-way split: reusing one key for both the freq-mix noise and
+            # the DDIM σ-noise stream would correlate them
+            key, k_noise, k_mix, k_samp = jax.random.split(key, 4)
             # diffuse the clean latent to the terminal noise level, then
             # freq-mix with fresh noise: [B,T,h,w,C] → fft over (T,h,w)
             noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
@@ -165,7 +167,7 @@ class T2VPipeline:
             noised = jnp.sqrt(a_T) * latents + jnp.sqrt(1 - a_T) * noise
             x = jnp.moveaxis(noised, -1, 1)   # [B,C,T,h,w]
             n = jnp.moveaxis(
-                jax.random.normal(k_samp, latents.shape, jnp.float32), -1, 1)
+                jax.random.normal(k_mix, latents.shape, jnp.float32), -1, 1)
             mixed = freeinit.freq_mix_3d(x, n, lpf)
             x_T = jnp.moveaxis(mixed, 1, -1)
             latents, _ = ddim_from_xt(self, (ctx, uc), x_T, key=k_samp)

@@ -120,7 +120,13 @@ def moca_window_step(
         noise = sigma * jax.random.normal(k, x_i.shape, jnp.float32).astype(x_i.dtype)
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
 
-        if cfg.enable_injection and have_masks and cond_image is not None:
+        # DAVIS masks without a concept image inject zeros in the masked
+        # region (ddim.py:571-573 substitutes zeros_like); the segmentation
+        # path has no such fallback (it would crash in the reference).
+        cond = cond_image
+        if cond is None and masks_are_davis:
+            cond = jnp.zeros(x.shape[2:4] + (x.shape[-1],), x.dtype)
+        if cfg.enable_injection and have_masks and cond is not None:
             # mask-guided concept injection (ddim.py:565-590 / :897-901)
             if masks_are_davis:
                 factor = jnp.where(t_i <= cfg.inject_threshold, enh, 1.0)
@@ -131,7 +137,7 @@ def moca_window_step(
                     jnp.sum(m_i) > 0, t_i <= cfg.inject_threshold
                 )
             injected = jnp.where(
-                m_i > 0.5, cond_image.astype(pred_x0.dtype) * factor, pred_x0
+                m_i > 0.5, cond.astype(pred_x0.dtype) * factor, pred_x0
             )
             pred_x0 = jnp.where(gate, injected, pred_x0)
             if cfg.inject_into_queue:
