@@ -36,7 +36,7 @@ class _LN32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype)(
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)(
             x.astype(jnp.float32))
         return y.astype(x.dtype)
 

@@ -49,7 +49,7 @@ class _VisionBlock(nn.Module):
     def __call__(self, x):
         c = self.cfg
         d = c.width // c.heads
-        ln = lambda name: nn.LayerNorm(dtype=jnp.float32,
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                        param_dtype=c.param_dtype, name=name)
         h = ln("ln_1")(x.astype(jnp.float32)).astype(c.dtype)
         qkv = nn.Dense(3 * c.width, dtype=c.dtype, param_dtype=c.param_dtype,
@@ -95,7 +95,7 @@ class CLIPVisionEncoder(nn.Module):
                          nn.initializers.normal(0.02),
                          (gh * gw + 1, c.width), c.param_dtype)
         x = x + pos.astype(c.dtype)
-        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=c.param_dtype,
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=c.param_dtype,
                          name="ln_pre")(x.astype(jnp.float32)).astype(c.dtype)
         for i in range(c.layers):
             x = _VisionBlock(c, name=f"resblock{i}")(x)
@@ -103,7 +103,7 @@ class CLIPVisionEncoder(nn.Module):
             # V2 path: patch tokens without final projection
             # (condition.py:330-375 encode_with_vision_transformer)
             return x
-        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=c.param_dtype,
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=c.param_dtype,
                          name="ln_post")(
             x[:, 0].astype(jnp.float32)).astype(c.dtype)
         proj = self.param("proj", nn.initializers.normal(0.02),

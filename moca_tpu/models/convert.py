@@ -135,11 +135,24 @@ def _basic_block(sd, p, rel_pos=False, img_cross=False):
     }
 
 
+def _proj(sd, prefix):
+    """Transformer proj_in/proj_out: nn.Linear when use_linear=True, but a
+    1×1 Conv1d/Conv2d when use_linear=False — notably the U-Net's init_attn
+    TemporalTransformer is constructed WITHOUT use_linear
+    (openaimodel3d.py:379-389 → attention.py:297-300), so its projections
+    are Conv1d in the checkpoint. A 1×1 conv over channels is exactly a
+    Linear: squeeze the kernel's trailing singleton dims."""
+    w = _np(sd[f"{prefix}.weight"])
+    if w.ndim > 2:
+        w = w.reshape(w.shape[0], w.shape[1])
+    return {"kernel": w.T, "bias": _np(sd[f"{prefix}.bias"])}
+
+
 def _transformer(sd, p, depth, rel_pos=False, img_cross=False):
     out = {
         "norm": _groupnorm32(sd, f"{p}.norm"),
-        "proj_in": _linear(sd, f"{p}.proj_in"),
-        "proj_out": _linear(sd, f"{p}.proj_out"),
+        "proj_in": _proj(sd, f"{p}.proj_in"),
+        "proj_out": _proj(sd, f"{p}.proj_out"),
     }
     for d in range(depth):
         out[f"block{d}"] = _basic_block(

@@ -31,7 +31,7 @@ class ImageProjModel(nn.Module):
                      name="proj")(image_embeds)
         x = x.reshape(b, self.clip_extra_context_tokens,
                       self.cross_attention_dim)
-        return nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype,
                             name="norm")(x.astype(jnp.float32)).astype(self.dtype)
 
 
@@ -50,7 +50,7 @@ class PerceiverAttention(nn.Module):
     def __call__(self, x, latents):
         h, d = self.heads, self.dim_head
         inner = h * d
-        ln = lambda name: nn.LayerNorm(dtype=jnp.float32,
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                        param_dtype=self.param_dtype, name=name)
         x = ln("norm1")(x.astype(jnp.float32)).astype(self.dtype)
         latents = ln("norm2")(latents.astype(jnp.float32)).astype(self.dtype)
@@ -105,7 +105,7 @@ class Resampler(nn.Module):
                 dim_head=self.dim_head, heads=self.heads, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"layer{i}_attn")
             latents = attn(x, latents) + latents
-            h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype,
                              name=f"layer{i}_ff_norm")(
                 latents.astype(jnp.float32)).astype(self.dtype)
             h = nn.Dense(self.dim * self.ff_mult, use_bias=False,
@@ -118,6 +118,6 @@ class Resampler(nn.Module):
             latents = h + latents
         out = nn.Dense(self.output_dim, dtype=self.dtype,
                        param_dtype=self.param_dtype, name="proj_out")(latents)
-        return nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype,
                             name="norm_out")(
             out.astype(jnp.float32)).astype(self.dtype)

@@ -385,7 +385,7 @@ class _LayerNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype)(
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)(
             x.astype(jnp.float32)
         )
         return y.astype(x.dtype)
@@ -413,10 +413,14 @@ class BasicTransformerBlock(nn.Module):
         x = CrossAttention(causal=self.causal, name="attn1", **common)(
             _LayerNorm32(self.param_dtype, name="norm1")(x)) + x
         # note: when context is None this is a second self-attention
-        # (temporal transformers with only_self_att, attention.py:348-351)
+        # (temporal transformers with only_self_att, attention.py:348-351).
+        # The reference applies the causal mask to BOTH attn1 and attn2
+        # (attention.py:217-218 passes mask to each; with a mask the context
+        # is dropped entirely, :206-208), so attn2 is causal too.
         x = CrossAttention(
             context_dim=self.context_dim,
             img_cross_attention=self.img_cross_attention,
+            causal=self.causal and context is None,
             name="attn2", **common,
         )(_LayerNorm32(self.param_dtype, name="norm2")(x), context=context) + x
         x = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype, name="ff")(
