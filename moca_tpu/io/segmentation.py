@@ -23,6 +23,22 @@ from typing import Callable, Optional
 import numpy as np
 
 
+def latent_to_uint8_frame(latent_hwc: np.ndarray) -> np.ndarray:
+    """The reference's latent→uint8 'image' conversion fed to the detector
+    (ddim.py:744-763): take the first 3 channels of the [h, w, C] latent and
+    cast — scaling by 255 only when the max is ≤ 1 (reproduced exactly,
+    including the direct uint8 cast of out-of-range floats otherwise)."""
+    frame = np.asarray(latent_hwc, np.float32)
+    if frame.shape[-1] != 3:
+        if frame.shape[-1] == 1:
+            frame = np.repeat(frame, 3, axis=-1)
+        else:
+            frame = frame[:, :, :3]
+    if np.floor(frame.max()) <= 1.0:
+        return (frame * 255).astype(np.uint8)
+    return frame.astype(np.uint8)
+
+
 def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
     """Mean IoU of binary masks (ddim.py:905-943; empty∧empty → 1)."""
     a = a > 0.5
@@ -65,7 +81,10 @@ class CallbackMaskProvider:
         elif self.prev_mask is not None and \
                 mask_iou(mask, self.prev_mask) < self.iou_threshold:
             mask = self.prev_mask  # drift gate (ddim.py:803-807)
-        if mask is not None and mask.mean() > self.coverage_max:
-            return None  # mask covers the frame → skip (ddim.py:819-821)
+        # the coverage gate skips the INJECTION only — the oversized mask
+        # still becomes pre_masks for the next frame (ddim.py:819-821 skips
+        # the paste; :606 carries the returned masks regardless)
         self.prev_mask = mask
+        if mask is not None and mask.mean() > self.coverage_max:
+            return None
         return mask

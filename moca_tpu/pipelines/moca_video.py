@@ -80,10 +80,16 @@ class MoCAVideoPipeline:
     # ------------------------------------------------------------------
     # jitted step: all FIFO windows + MoCA + shift in one compiled graph
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 8), donate_argnums=(2,))
+    @functools.partial(jax.jit, static_argnums=(0, 8, 9), donate_argnums=(2,))
     def _fifo_iteration(self, unet_params, latents, contexts, cond_image,
-                        masks, gamma, key, masks_are_davis, anchor=None):
-        """(queue, …) → (shifted queue, head latent). Queue buffer donated.
+                        masks, gamma, key, masks_are_davis, want_pred=False,
+                        anchor=None):
+        """(queue, …) → (shifted queue, head latent[, low-t pred_x0]).
+        Queue buffer donated.
+
+        want_pred: additionally return the pre-injection pred_x0 for the
+        queue slots with t ≤ inject_threshold — the frames the open-vocab
+        mask provider segments host-side (ddim.py:592-606).
 
         unet_params is an explicit argument (closure capture would bake the
         1.4B weight tree into the HLO — axon's remote compiler chokes)."""
@@ -96,10 +102,16 @@ class MoCAVideoPipeline:
             unet_apply, unet_params, ctx, uc,
             self.guidance_scale, fps=self.fps)
         k_win, k_shift, k_anchor = jax.random.split(key, 3)
-        new_latents, head = fifo_step(
+        result = fifo_step(
             eps_fn, self.sch, self.plan, self.moca, latents, k_win,
             cond_image=cond_image, masks=masks,
-            masks_are_davis=masks_are_davis, gamma=gamma)
+            masks_are_davis=masks_are_davis, gamma=gamma,
+            with_pred_x0=want_pred)
+        if want_pred:
+            new_latents, head, pred_queue = result
+            pred_low = pred_queue[:, : self._num_low_t_slots()]
+        else:
+            new_latents, head = result
         # DAVIS anchor: fresh posterior sample per shift (the reference
         # re-encodes the last real frame each shift, funcs.py:101-114;
         # moments are precomputed so only the ε-draw happens here)
@@ -109,7 +121,39 @@ class MoCAVideoPipeline:
             anchor_latent = mean + std * jax.random.normal(
                 k_anchor, mean.shape, jnp.float32).astype(mean.dtype)
         shifted = shift_queue(new_latents, k_shift, anchor=anchor_latent)
+        if want_pred:
+            return shifted, head, pred_low
         return shifted, head
+
+    def _num_low_t_slots(self) -> int:
+        """Queue slots with t ≤ inject_threshold (a contiguous prefix —
+        queue noise levels are ascending)."""
+        return int(np.sum(self.plan.timesteps <= self.moca.inject_threshold))
+
+    def _pull_masks(self, pred_low, mask_provider, target, counter, hw):
+        """Host-side open-vocab mask acquisition for the next iteration.
+
+        Mirrors the reference's per-frame sweep (ddim.py:592-606: every
+        t≤300 frame is segmented from its pre-injection pred_x0, with
+        `pre_masks` state carried across frames — here the provider object
+        holds that state). The queue shifts after every iteration, so the
+        mask detected at slot j lands at slot j-1 of the next queue; slot 0
+        is popped with its frame. Provider calls happen while the device is
+        already running the next iteration's U-Net dispatch — only the small
+        [k, h, w, C] pred transfer synchronizes."""
+        from moca_tpu.io.segmentation import latent_to_uint8_frame
+
+        h, w = hw
+        k_low = self._num_low_t_slots()
+        new_masks = np.zeros((1, self.plan.queue_length, h, w, 1), np.float32)
+        pred_np = np.asarray(pred_low)  # [1, k_low, h, w, C]
+        for j in range(k_low):
+            frame = latent_to_uint8_frame(pred_np[0, j])
+            m = mask_provider(counter, frame, target)
+            counter += 1
+            if m is not None and j >= 1:
+                new_masks[0, j - 1, :, :, 0] = np.asarray(m, np.float32)
+        return jnp.asarray(new_masks), counter
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _decode_heads(self, vae_params, heads):
@@ -160,10 +204,24 @@ class MoCAVideoPipeline:
         latents_dir: Optional[str] = None,
         multiprompts: Optional[Sequence[Tuple[str, int]]] = None,
         frame_callback: Optional[Callable[[int, np.ndarray], None]] = None,
+        mask_provider: Optional[Callable] = None,     # open-vocab segmentation
+        target: Optional[str] = None,                 # detector text prompt
     ) -> List[np.ndarray]:
         """Returns the generated frames as a list of [H, W, 3] float arrays
         in [-1, 1] (length = new_video_length + S - f, like the reference's
-        fifo loop, funcs.py:305; callers usually keep a half — see CLI)."""
+        fifo loop, funcs.py:305; callers usually keep a half — see CLI).
+
+        mask_provider: open-vocabulary prompt-mode segmentation (the
+        reference runs Grounding-DINO+SAM2 *inside* the denoise loop with a
+        GPU→PIL→GPU round trip per frame, ddim.py:592-606,739-903). Here the
+        provider — e.g. `io.segmentation.CallbackMaskProvider`, which applies
+        the reference's IoU/coverage/prev-mask gates — is called host-side
+        once per t≤300 queue slot per iteration with the uint8-converted
+        pre-injection pred_x0 (conversion of ddim.py:744-763) and `target`
+        (defaults to the prompt, like get_davis_prompt's target). Masks feed
+        the NEXT iteration's injection (one-iteration lag keeps the denoise
+        stream free of host round trips). Ignored when DAVIS `masks` are
+        given (the reference's precedence, ddim.py:565-606)."""
         h, w = height // 8, width // 8
         k_base, k_queue, k_fifo = jax.random.split(key, 3)
 
@@ -202,6 +260,7 @@ class MoCAVideoPipeline:
             anchor = self.model.encode_frame_moments(davis_frames[-1:])
 
         mask_queue = None
+        seg_mode = mask_provider is not None and masks is None
         if masks is not None:
             # queue-aligned mask slots mirror the latent slots
             from moca_tpu.sampling.fifo import queue_frame_indices
@@ -209,6 +268,13 @@ class MoCAVideoPipeline:
             mq = np.asarray(masks)[frame_idx][None, ..., None]
             mask_queue = jnp.asarray(mq, jnp.float32)
             mask_tail_src = np.asarray(masks)[-1][None, ..., None]
+        elif seg_mode:
+            # open-vocab: start with no masks; the provider fills t≤300
+            # slots from each iteration's pred_x0
+            mask_queue = jnp.zeros(
+                (1, self.plan.queue_length, h, w, 1), jnp.float32)
+            seg_target = target if target is not None else prompt
+            seg_frame_counter = 0
 
         cond = (jnp.asarray(cond_image, jnp.float32)
                 if cond_image is not None else None)
@@ -277,13 +343,24 @@ class MoCAVideoPipeline:
                     lengths, j)  # funcs.py:427-431
                 step_ctx = embeds[j]
             with timer.stage("fifo_iteration"):
-                latents, head = self._fifo_iteration(
-                    self.model.unet_params, latents, (step_ctx, uc), cond,
-                    mask_queue, g, iter_keys[i], masks is not None,
-                    anchor=anchor)
-            if mask_queue is not None:
+                if seg_mode:
+                    latents, head, pred_low = self._fifo_iteration(
+                        self.model.unet_params, latents, (step_ctx, uc),
+                        cond, mask_queue, g, iter_keys[i], False, True,
+                        anchor=anchor)
+                else:
+                    latents, head = self._fifo_iteration(
+                        self.model.unet_params, latents, (step_ctx, uc),
+                        cond, mask_queue, g, iter_keys[i], masks is not None,
+                        anchor=anchor)
+            if masks is not None:
                 mask_queue = shift_masks(
                     mask_queue, jnp.asarray(mask_tail_src, jnp.float32))
+            elif seg_mode:
+                with timer.stage("mask_provider"):
+                    mask_queue, seg_frame_counter = self._pull_masks(
+                        pred_low, mask_provider, seg_target,
+                        seg_frame_counter, (h, w))
             # heads stay on device; decode in batches (async dispatch keeps
             # the denoise pipeline ahead of the decodes)
             pending_heads.append(head)

@@ -210,13 +210,18 @@ def fifo_step(
     masks: Optional[jnp.ndarray] = None,  # [B, Q, h, w, 1] queue-aligned
     masks_are_davis: bool = True,
     gamma: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_pred_x0: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """One FIFO iteration: denoise all windows, write back, return
     (new_queue, head_latent_to_decode).
 
     eps_window_fn: ([R·B, f, h, w, C] x, [R·B, f] t) -> eps — built by the
     pipeline with CFG fused (sampling/ddim.make_cfg_eps_fn); all windows ride
     one U-Net batch.
+
+    with_pred_x0: additionally return the queue-aligned PRE-injection pred_x0
+    (ddim.py feeds this tensor to the segmentation detector, :592-606) for
+    the host-side open-vocab mask provider.
 
     Key layout: key → (moca_0..moca_{R-1}) per window.
     """
@@ -242,16 +247,36 @@ def fifo_step(
     step = functools.partial(
         moca_window_step, sch, moca_cfg,
         cond_image=cond_image, masks_are_davis=masks_are_davis, gamma=gamma,
+        with_preinject=True,
     )
     if w_masks is None:
-        x_prev, _ = jax.vmap(
+        x_prev, _, pred_pre = jax.vmap(
             lambda x, e, i, t, k: step(x, e, i, t, k, masks=None)
         )(windows, eps, w_idx, w_ts, window_keys)
     else:
-        x_prev, _ = jax.vmap(
+        x_prev, _, pred_pre = jax.vmap(
             lambda x, e, i, t, k, m: step(x, e, i, t, k, masks=m)
         )(windows, eps, w_idx, w_ts, window_keys, w_masks)
 
     new_latents = _scatter_windows(latents, x_prev, plan)
     head = new_latents[:, plan.head_slot]
+    if with_pred_x0:
+        return new_latents, head, scatter_pred_x0(pred_pre, plan)
     return new_latents, head
+
+
+def scatter_pred_x0(pred: jnp.ndarray, plan: FIFOPlan) -> jnp.ndarray:
+    """Queue-aligned pred_x0 from per-window pred_x0 [R, B, f, ...].
+
+    Same tiling as `_scatter_windows`, except the lookahead prefix (queue
+    slots [0, f/2), which no window commits) is taken from window 0's FIRST
+    half — the reference's per-frame segmentation sees those frames as part
+    of window 0's sweep (funcs.py:306 processes every slot of every window).
+    """
+    if plan.lookahead:
+        half = plan.f // 2
+        parts = [pred[0][:, :half]]
+        parts += [pred[r][:, half:] for r in range(plan.num_windows)]
+    else:
+        parts = [pred[r] for r in range(plan.num_windows)]
+    return jnp.concatenate(parts, axis=1)

@@ -71,9 +71,13 @@ def moca_window_step(
     masks: Optional[jnp.ndarray] = None,       # [B, f, h, w, 1] in [0,1], or None
     masks_are_davis: bool = True,
     gamma: Optional[jnp.ndarray] = None,       # overrides cfg.gamma if given
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_preinject: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """One diagonal denoise of a window. Returns (x_prev, pred_x0), each
-    [B, f, h, w, C].
+    [B, f, h, w, C]; with_preinject additionally returns the
+    momentum-corrected pred_x0 BEFORE injection and γ-blend — the tensor the
+    reference feeds to its segmentation detector (ddim.py:592-606 passes the
+    pre-injection pred_x0 into apply_cond_img).
 
     Frames are scanned in order; carry = (prev_frame pred_x0, momentum).
     """
@@ -116,15 +120,16 @@ def moca_window_step(
             pred_x0 = pred_x0 + is_later * strength * momentum
 
         prev_frame = pred_x0
+        pred_preinject = pred_x0
 
         noise = sigma * jax.random.normal(k, x_i.shape, jnp.float32).astype(x_i.dtype)
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
 
-        # DAVIS masks without a concept image inject zeros in the masked
-        # region (ddim.py:571-573 substitutes zeros_like); the segmentation
-        # path has no such fallback (it would crash in the reference).
+        # Masks without a concept image inject zeros in the masked region:
+        # both the DAVIS branch (ddim.py:572-574) and _apply_segmentation
+        # (ddim.py:835-838) substitute zeros_like for a None cond_image.
         cond = cond_image
-        if cond is None and masks_are_davis:
+        if cond is None and have_masks:
             cond = jnp.zeros(x.shape[2:4] + (x.shape[-1],), x.dtype)
         if cfg.enable_injection and have_masks and cond is not None:
             # mask-guided concept injection (ddim.py:565-590 / :897-901)
@@ -147,11 +152,14 @@ def moca_window_step(
         # γ noise blend (ddim.py:609) — same σ-scaled noise as x_prev
         pred_x0 = (1.0 - g) * pred_x0 + g * noise
 
-        return (prev_frame, momentum), (x_prev, pred_x0)
+        return (prev_frame, momentum), (x_prev, pred_x0, pred_preinject)
 
     init = (jnp.zeros_like(xs[0]), jnp.zeros_like(xs[0]))
     pos = jnp.arange(f)
-    (_, _), (x_prevs, pred_x0s) = jax.lax.scan(
+    (_, _), (x_prevs, pred_x0s, pred_pre) = jax.lax.scan(
         body, init, (xs, es, ms, indices, timesteps, pos, frame_keys)
     )
+    if with_preinject:
+        return (jnp.moveaxis(x_prevs, 0, 1), jnp.moveaxis(pred_x0s, 0, 1),
+                jnp.moveaxis(pred_pre, 0, 1))
     return jnp.moveaxis(x_prevs, 0, 1), jnp.moveaxis(pred_x0s, 0, 1)

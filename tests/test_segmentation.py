@@ -1,0 +1,202 @@
+"""Open-vocabulary segmentation: provider gates + e2e through the pipeline.
+
+The reference runs Grounding-DINO+SAM2 inside the denoise loop
+(ref: lvdm/models/samplers/ddim.py:592-606,739-903); here a host-side
+provider feeds a queue-aligned mask tensor. These tests drive a FAKE
+detector through the actual `MoCAVideoPipeline` seg path and unit-test the
+reference's temporal-consistency gates (empty-detection fallback, IoU drift
+gate, coverage skip) and the latent→uint8 conversion (ddim.py:744-763).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from moca_tpu.io.segmentation import (
+    CallbackMaskProvider, PrecomputedMaskProvider, latent_to_uint8_frame,
+    mask_iou,
+)
+from moca_tpu.models.clip_text import CLIPTextConfig
+from moca_tpu.models.latent_diffusion import init_random_model
+from moca_tpu.models.tokenizer import HashTokenizer
+from moca_tpu.models.unet3d import UNetConfig
+from moca_tpu.models.vae import VAEConfig
+from moca_tpu.pipelines.moca_video import MoCAVideoPipeline
+from moca_tpu.sampling.moca import MoCAConfig
+
+
+# ---------------------------------------------------------------------------
+# unit: mask_iou + conversion
+# ---------------------------------------------------------------------------
+
+def test_mask_iou_basic():
+    a = np.zeros((4, 4)); a[:2] = 1
+    b = np.zeros((4, 4)); b[1:3] = 1
+    assert mask_iou(a, a) == 1.0
+    assert mask_iou(a, 1 - a) == 0.0
+    np.testing.assert_allclose(mask_iou(a, b), 4 / 12)
+    # empty ∧ empty → 1 (ddim.py:905-943 degenerate case)
+    assert mask_iou(np.zeros((4, 4)), np.zeros((4, 4))) == 1.0
+
+
+def test_latent_to_uint8_conversion():
+    # 4-channel latent → first 3 channels (ddim.py:751-755)
+    lat = np.zeros((5, 6, 4), np.float32)
+    lat[..., 0] = 0.5
+    frame = latent_to_uint8_frame(lat)
+    assert frame.shape == (5, 6, 3) and frame.dtype == np.uint8
+    # max ≤ 1 → ×255 branch (ddim.py:758-760)
+    assert frame[..., 0].max() == 127
+    # max > 1 → direct cast branch (ddim.py:761-762)
+    lat2 = np.full((2, 2, 3), 3.7, np.float32)
+    assert latent_to_uint8_frame(lat2).max() == 3
+    # single channel → repeat to 3
+    assert latent_to_uint8_frame(np.ones((2, 2, 1))).shape == (2, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# unit: provider gates (ddim.py:788-821 semantics)
+# ---------------------------------------------------------------------------
+
+def _disk(h, w, cy, cx, r):
+    yy, xx = np.mgrid[:h, :w]
+    return ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r).astype(np.float32)
+
+
+def test_provider_empty_detection_falls_back_to_previous():
+    masks = [_disk(8, 8, 4, 4, 2), None, None]
+    calls = iter(masks)
+    p = CallbackMaskProvider(lambda frame, target: next(calls))
+    m0 = p(0, np.zeros((8, 8, 3), np.uint8), "cat")
+    m1 = p(1, np.zeros((8, 8, 3), np.uint8), "cat")
+    m2 = p(2, np.zeros((8, 8, 3), np.uint8), "cat")
+    assert m0 is not None
+    np.testing.assert_array_equal(m1, m0)   # ddim.py:788-793
+    np.testing.assert_array_equal(m2, m0)
+
+
+def test_provider_iou_drift_gate_reuses_previous():
+    stable = _disk(8, 8, 4, 4, 2)
+    jumped = _disk(8, 8, 1, 1, 1)           # IoU(stable, jumped) ≈ 0
+    calls = iter([stable, jumped])
+    p = CallbackMaskProvider(lambda frame, target: next(calls))
+    m0 = p(0, np.zeros((8, 8, 3), np.uint8), "cat")
+    m1 = p(1, np.zeros((8, 8, 3), np.uint8), "cat")
+    np.testing.assert_array_equal(m1, stable)  # drift gate ddim.py:803-807
+
+
+def test_provider_coverage_gate_skips_but_carries():
+    big = np.ones((8, 8), np.float32)        # covers 100 % > 80 %
+    calls = iter([big, None])
+    p = CallbackMaskProvider(lambda frame, target: next(calls))
+    assert p(0, np.zeros((8, 8, 3), np.uint8), "cat") is None  # skip paste
+    # the oversized mask still became pre_masks (ddim.py:606 carries it) but
+    # remains coverage-gated on reuse
+    assert p(1, np.zeros((8, 8, 3), np.uint8), "cat") is None
+    np.testing.assert_array_equal(p.prev_mask, big)
+
+
+def test_provider_appends_period_to_target():
+    seen = {}
+
+    def seg(frame, target):
+        seen["target"] = target
+        return None
+
+    CallbackMaskProvider(seg)(0, np.zeros((4, 4, 3), np.uint8), "cat")
+    assert seen["target"] == "cat."          # ddim.py:741-742
+
+
+def test_precomputed_provider_loops_last():
+    masks = np.stack([np.full((4, 4), i, np.float32) for i in range(3)])
+    p = PrecomputedMaskProvider(masks)
+    assert p(1)[0, 0] == 1
+    assert p(99)[0, 0] == 2
+
+
+# ---------------------------------------------------------------------------
+# e2e: fake detector through the actual pipeline
+# ---------------------------------------------------------------------------
+
+HEIGHT = WIDTH = 32
+F, N = 4, 2
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    unet_cfg = UNetConfig(
+        model_channels=32, num_head_channels=8, context_dim=16,
+        channel_mult=(1, 2), attention_resolutions=(1, 2),
+        num_res_blocks=1, temporal_length=F)
+    vae_cfg = VAEConfig(ch=16, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                        resolution=HEIGHT)
+    clip_cfg = CLIPTextConfig(width=16, heads=2, layers=2, vocab_size=49408)
+    return init_random_model(
+        unet_cfg, vae_cfg, clip_cfg, jax.random.PRNGKey(0),
+        latent_hw=(HEIGHT // 8, WIDTH // 8), frames=F)
+
+
+def _run(tiny_model, provider, key=3, **call_kw):
+    pipe = MoCAVideoPipeline(
+        tiny_model, HashTokenizer(), video_length=F, num_partitions=N,
+        new_video_length=3, guidance_scale=7.5,
+        moca=MoCAConfig(inject_into_queue=True))
+    h, w = HEIGHT // 8, WIDTH // 8
+    cond = np.full((h, w, 4), 0.4, np.float32)
+    frames = pipe("a dog", jax.random.PRNGKey(key), cond_image=cond,
+                  height=HEIGHT, width=WIDTH, mask_provider=provider,
+                  target="cat", **call_kw)
+    return pipe, np.stack(frames)
+
+
+def test_prompt_mode_open_vocab_injection_changes_output(tiny_model):
+    """Prompt mode WITHOUT DAVIS masks: a detector that always finds the
+    subject must change the generated frames (vs no provider), proving the
+    mask tensor reaches the injection — the reference's flagship demo path."""
+    record = []
+
+    def fake_detector(frame, target):
+        assert frame.dtype == np.uint8 and frame.shape[-1] == 3
+        record.append(target)
+        m = np.zeros(frame.shape[:2], np.float32)
+        m[1:3, 1:3] = 1.0
+        return m
+
+    _, frames_seg = _run(tiny_model, CallbackMaskProvider(fake_detector))
+    pipe, frames_plain = _run(tiny_model, None)
+    assert record and all(t == "cat." for t in record)
+    # provider is called once per t≤300 slot per iteration
+    total_iters = 3 + F * N - F
+    k_low = pipe._num_low_t_slots()
+    assert k_low > 0
+    assert len(record) == total_iters * k_low
+    assert frames_seg.shape == frames_plain.shape
+    assert np.abs(frames_seg - frames_plain).max() > 1e-6
+
+
+def test_open_vocab_empty_detections_are_noop(tiny_model):
+    """A detector that never fires must leave frames bit-identical to the
+    no-provider run (empty-detection path: no previous mask → no injection)."""
+    _, frames_seg = _run(
+        tiny_model, CallbackMaskProvider(lambda frame, target: None), key=5)
+    _, frames_plain = _run(tiny_model, None, key=5)
+    np.testing.assert_array_equal(frames_seg, frames_plain)
+
+
+def test_davis_masks_take_precedence_over_provider(tiny_model):
+    """When DAVIS masks are given the provider must not be consulted
+    (reference: the davis_masks branch short-circuits apply_cond_img,
+    ddim.py:565-606)."""
+    calls = []
+
+    def fake_detector(frame, target):
+        calls.append(1)
+        return None
+
+    h, w = HEIGHT // 8, WIDTH // 8
+    masks = np.zeros((6, h, w), np.float32)
+    masks[:, :2, :2] = 1.0
+    clean = jax.random.normal(jax.random.PRNGKey(7), (1, 6, h, w, 4))
+    _run(tiny_model, CallbackMaskProvider(fake_detector), key=7,
+         clean_latents=clean, masks=masks)
+    assert not calls
