@@ -76,12 +76,20 @@ class ResidualAttentionBlock(nn.Module):
 
 
 class CLIPTextEncoder(nn.Module):
-    """tokens [B, 77] int32 → [B, 77, width] penultimate-layer features."""
+    """tokens [B, 77] int32 → [B, 77, width] penultimate-layer features
+    (conditioning path), or — with output="embed" — the pooled, projected
+    CLIP text EMBEDDING [B, output_dim] used for similarity metrics
+    (CASS/relCASS, eval/metrics.py): full tower, ln_final, EOT-token pool
+    (argmax over token ids, the OpenCLIP convention), @ text_projection.
+    The embed path needs the last resblock + text_projection converted
+    (convert_clip(full=True)); the checkpoint carries them
+    (FrozenOpenCLIPEmbedder keeps the whole text tower and truncates at
+    runtime, condition.py:213-231)."""
 
     cfg: CLIPTextConfig
 
     @nn.compact
-    def __call__(self, tokens):
+    def __call__(self, tokens, output: str = "penultimate"):
         c = self.cfg
         tok_emb = self.param(
             "token_embedding",
@@ -97,9 +105,15 @@ class CLIPTextEncoder(nn.Module):
         causal = jnp.tril(jnp.ones((s, s), jnp.bool_))
         mask = jnp.where(causal, 0.0, -jnp.inf)[None, None]
 
-        n_layers = c.layers - (1 if c.penultimate else 0)
+        n_layers = c.layers - (1 if c.penultimate and output != "embed" else 0)
         for i in range(n_layers):
             x = ResidualAttentionBlock(c, name=f"resblock{i}")(x, mask)
         # ln_final is applied even in penultimate mode (condition.py:211-218)
         x = _LN32(c.param_dtype, name="ln_final")(x)
-        return x
+        if output != "embed":
+            return x
+        proj = self.param("text_projection", nn.initializers.normal(0.02),
+                          (c.width, c.width), c.param_dtype)
+        eot = jnp.argmax(tokens, axis=-1)  # EOT has the largest token id
+        pooled = x[jnp.arange(x.shape[0]), eot]
+        return pooled @ proj.astype(pooled.dtype)

@@ -290,15 +290,23 @@ def convert_vae(sd: StateDict, cfg: VAEConfig,
 # ---------------------------------------------------------------------------
 
 def convert_clip(sd: StateDict, cfg: CLIPTextConfig,
-                 prefix: str = "cond_stage_model.model.") -> Dict:
-    """OpenCLIP text tower (cond_stage_model.model.* in the LVDM checkpoint)."""
+                 prefix: str = "cond_stage_model.model.",
+                 full: bool = False) -> Dict:
+    """OpenCLIP text tower (cond_stage_model.model.* in the LVDM checkpoint).
+
+    full=True additionally converts the last resblock + text_projection,
+    enabling the pooled CLIP text EMBEDDING path (CASS/relCASS metrics) —
+    the checkpoint carries the whole tower even though conditioning stops at
+    the penultimate layer (condition.py:213-231)."""
     sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
     params: Dict = {
         "token_embedding": _np(sd["token_embedding.weight"]),
         "positional_embedding": _np(sd["positional_embedding"]),
         "ln_final": _layernorm32(sd, "ln_final"),
     }
-    n_layers = cfg.layers - (1 if cfg.penultimate else 0)
+    if full and "text_projection" in sd:
+        params["text_projection"] = _np(sd["text_projection"])
+    n_layers = cfg.layers - (1 if cfg.penultimate and not full else 0)
     for i in range(n_layers):
         p = f"transformer.resblocks.{i}"
         params[f"resblock{i}"] = {

@@ -164,3 +164,61 @@ def stochastic_encode(
     shape = jnp.shape(index) + (1,) * (x0.ndim - jnp.ndim(index) - 1)
     a = sch.ddim_alphas[index].reshape(shape)
     return jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
+
+
+def ddim_decode(
+    eps_fn: Callable,
+    sch: DiffusionSchedule,
+    x_latent: jnp.ndarray,   # [B, T, H, W, C] partially-noised latent
+    t_start: int,            # number of DDIM steps to run (static)
+    key: jax.Array,
+) -> jnp.ndarray:
+    """Partial DDIM sampling from schedule position `t_start` down to 0 —
+    the reference's `DDIMSampler.decode` (ddim.py:673-692): the counterpart
+    of `stochastic_encode` for edit-style resampling.
+
+    Runs the same per-step math as `ddim_sample` (p_sample_ddim incl. the
+    use_scale correction) but as a scan over only the first `t_start`
+    schedule entries, reversed. Key layout: key → (step_0 … step_{t_start-1}).
+    """
+    b, t = x_latent.shape[0], x_latent.shape[1]
+    step_keys = jax.random.split(key, t_start)
+
+    def body(x, per_step):
+        i, k = per_step
+        index = t_start - 1 - i
+        step = sch.ddim_timesteps[index]
+        t_frames = jnp.broadcast_to(step, (b, t)).astype(jnp.int32)
+        eps = eps_fn(x, t_frames)
+        noise = jax.random.normal(k, x.shape, jnp.float32)
+        x_prev, _ = ddim_step_math(sch, x, eps, index, noise)
+        return x_prev, None
+
+    x0, _ = jax.lax.scan(body, x_latent, (jnp.arange(t_start), step_keys))
+    return x0
+
+
+def ddim_invert_frames(
+    sch: DiffusionSchedule,
+    clean_latents: jnp.ndarray,  # [B, T0, h, w, C] VAE-encoded frames
+    key: jax.Array,
+) -> jnp.ndarray:
+    """'DDIM inversion' per the reference (ddim.py:972-1032): despite the
+    name it is CLOSED-FORM, not model-in-loop — each schedule step i takes
+    frame max(0, i-(S-T0)) and noises it to level α_i
+    (√α_i·x0 + √(1-α_i)·ε, ddim.py:1016-1021), producing the [B, S, h, w, C]
+    diagonal latent stack that seeds a FIFO queue (same index math as
+    prepare_latents, funcs.py:63-77, without the lookahead prefix).
+
+    Key layout: one normal draw per schedule slot (the reference draws a
+    fresh randn per step, ddim.py:1019).
+    """
+    import numpy as np
+
+    S = sch.num_ddim_steps
+    T0 = clean_latents.shape[1]
+    frame_idx = jnp.asarray(np.maximum(0, np.arange(S) - (S - T0)))
+    frames = clean_latents[:, frame_idx]                    # [B, S, h, w, C]
+    noise = jax.random.normal(key, frames.shape, jnp.float32)
+    idx = jnp.arange(S)
+    return stochastic_encode(sch, frames, idx, noise.astype(frames.dtype))

@@ -33,6 +33,13 @@ def main():
     p.add_argument("--seed", type=int, default=321)
     p.add_argument("--bpe_path", default=None)
     p.add_argument("--precision", default="bf16")
+    # weights-gated Table-2 metrics (BASELINE.md): the t2v checkpoint has no
+    # CLIP visual tower and no AlexNet, so CASS/relCASS and LPIPS activate
+    # only when their weights are supplied
+    p.add_argument("--clip_vision_ckpt", default=None,
+                   help="OpenCLIP ViT-H visual state_dict → CASS/relCASS")
+    p.add_argument("--lpips_ckpt", default=None,
+                   help="torch file with {'alexnet': sd, 'lpips': sd} → LPIPS-I/T")
     args = p.parse_args()
 
     from moca_tpu.cli.main import load_pipeline
@@ -57,6 +64,44 @@ def main():
     indices = list(range(len(prompts)))[args.rank :: args.num_processes]
     os.makedirs(args.out_dir, exist_ok=True)
 
+    # --- weights-gated metric towers -----------------------------------
+    cass_fns = None
+    if args.clip_vision_ckpt:
+        import jax.numpy as jnp
+        from moca_tpu.eval.metrics import concept_alignment_scores
+        from moca_tpu.models.clip_text import CLIPTextEncoder
+        from moca_tpu.models.clip_vision import CLIPVisionConfig, CLIPVisionEncoder
+        from moca_tpu.models.convert import (
+            convert_clip, convert_clip_vision, load_torch_state_dict)
+
+        vision = CLIPVisionEncoder(CLIPVisionConfig())
+        v_params = convert_clip_vision(
+            load_torch_state_dict(args.clip_vision_ckpt), prefix="")
+        # full text tower (+text_projection) for pooled embeddings
+        t_params = convert_clip(load_torch_state_dict(args.ckpt_path),
+                                pipe.model.clip_cfg, full=True)
+        text = CLIPTextEncoder(pipe.model.clip_cfg)
+
+        def embed_frames(video):  # [T,H,W,3] in [-1,1] → [T,1024]
+            return vision.apply(v_params, jnp.asarray(video))
+
+        def embed_text(prompt):
+            tokens = jnp.asarray(pipe.tokenizer([prompt]))
+            return text.apply(t_params, tokens, output="embed")[0]
+
+        cass_fns = (embed_frames, embed_text, concept_alignment_scores)
+
+    lpips_fns = None
+    if args.lpips_ckpt:
+        import torch
+        from moca_tpu.eval.metrics import convert_lpips_weights, lpips_i, lpips_t
+
+        blob = torch.load(args.lpips_ckpt, map_location="cpu")
+        lp_params, lp_lin = convert_lpips_weights(
+            {k: v.numpy() for k, v in blob["alexnet"].items()},
+            {k: v.numpy() for k, v in blob["lpips"].items()})
+        lpips_fns = (lp_params, lp_lin, lpips_i, lpips_t)
+
     entries, metrics = [], {}
     for idx in indices:
         row = prompts[idx]
@@ -75,6 +120,33 @@ def main():
             "frame_ssim_adjacent": float(
                 np.mean(np.asarray(ssim((vid[:-1] + 1) / 2, (vid[1:] + 1) / 2)))),
         }
+
+        # source (unmixed) video from the cached base latents — the CASS /
+        # LPIPS-I comparison target (Table 2 compares edited vs source)
+        src_vid = None
+        base_cache = os.path.join(args.out_dir, f"latents_{idx}",
+                                  f"{pipe.num_inference_steps}.npz")
+        if (cass_fns or lpips_fns) and os.path.exists(base_cache):
+            import jax.numpy as jnp
+            base_lat = jnp.asarray(np.load(base_cache)["latents"])
+            src_vid = np.asarray(pipe.model.decode_latents(base_lat))[0]
+
+        if cass_fns is not None and src_vid is not None:
+            embed_frames, embed_text, alignment = cass_fns
+            scores = alignment(
+                embed_frames(src_vid),
+                embed_frames(vid[: len(src_vid)]),
+                embed_text(row["prompt"]),
+                embed_text(row["conditioned_prompt"] or row["prompt"]))
+            metrics[idx].update({k: float(v) for k, v in scores.items()})
+
+        if lpips_fns is not None and src_vid is not None:
+            lp_params, lp_lin, f_i, f_t = lpips_fns
+            n = min(len(src_vid), len(vid))
+            metrics[idx]["lpips_i"] = float(
+                f_i(src_vid[:n], vid[:n], lp_params, lp_lin))
+            metrics[idx]["lpips_t"] = float(f_t(vid, lp_params, lp_lin))
+
         entries.append({"prompt": row["prompt"], "video_path": video_path})
 
     write_full_info(args.out_dir, entries)

@@ -53,3 +53,124 @@ def test_vbench_roundtrip(tmp_path):
     s = summarize(str(tmp_path))
     np.testing.assert_allclose(s["Diversity"]["mean"], 0.7)
     assert s["Human_Anatomy"]["n"] == 1
+
+
+# ---------------------------------------------------------------------------
+# CASS / relCASS
+# ---------------------------------------------------------------------------
+
+def test_cass_identity_edit_is_zero():
+    from moca_tpu.eval.metrics import cass, rel_cass
+    assert float(cass(0.3, 0.1, 0.3, 0.1)) == 0.0
+    assert float(rel_cass(0.3, 0.1, 0.3, 0.1)) == 0.0
+
+
+def test_cass_direction_and_antisymmetry():
+    from moca_tpu.eval.metrics import cass
+    # edited video gains target alignment (+0.1) and sheds source (+0.05)
+    c = float(cass(0.30, 0.10, 0.25, 0.20))
+    np.testing.assert_allclose(c, 100 * (0.10 + 0.05), rtol=1e-6)
+    # swapping src/out videos negates the score
+    c_swap = float(cass(0.25, 0.20, 0.30, 0.10))
+    np.testing.assert_allclose(c_swap, -c, rtol=1e-6)
+
+
+def test_rel_cass_scale_invariance():
+    """relCASS is invariant to scaling all similarities by a constant."""
+    from moca_tpu.eval.metrics import rel_cass
+    a = float(rel_cass(0.30, 0.10, 0.25, 0.20))
+    b = float(rel_cass(0.15, 0.05, 0.125, 0.10))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_concept_alignment_scores_from_embeddings():
+    from moca_tpu.eval.metrics import concept_alignment_scores
+    rng = np.random.default_rng(0)
+    src_txt = rng.standard_normal(16).astype(np.float32)
+    tgt_txt = rng.standard_normal(16).astype(np.float32)
+    # source frames align with src_txt; edited frames shifted toward tgt_txt
+    src_frames = src_txt[None] + 0.1 * rng.standard_normal((5, 16)).astype(np.float32)
+    out_frames = (0.4 * src_txt + 0.6 * tgt_txt)[None] + \
+        0.1 * rng.standard_normal((5, 16)).astype(np.float32)
+    s = concept_alignment_scores(
+        jnp.asarray(src_frames), jnp.asarray(out_frames),
+        jnp.asarray(src_txt), jnp.asarray(tgt_txt))
+    assert float(s["cass"]) > 0
+    assert float(s["rel_cass"]) > 0
+    assert float(s["sim_src_src"]) > float(s["sim_out_src"])
+    assert float(s["sim_out_tgt"]) > float(s["sim_src_tgt"])
+
+
+def test_clip_text_embed_output_mode():
+    """output='embed' runs the FULL tower + EOT pool + text_projection."""
+    from moca_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+    cfg = CLIPTextConfig(width=16, heads=2, layers=3, vocab_size=100,
+                         context_length=8)
+    enc = CLIPTextEncoder(cfg)
+    tokens = jnp.asarray([[1, 5, 7, 99, 0, 0, 0, 0]])  # EOT(99) at pos 3
+    params = enc.init(jax.random.PRNGKey(0), tokens, output="embed")
+    emb = enc.apply(params, tokens, output="embed")
+    assert emb.shape == (1, 16)
+    # penultimate path works off the same (superset) tree
+    feats = enc.apply(params, tokens)
+    assert feats.shape == (1, 8, 16)
+    # EOT pooling: moving tokens AFTER the EOT position must not change
+    # the pooled embedding's source position (argmax picks EOT)
+    tokens2 = jnp.asarray([[1, 5, 7, 99, 3, 2, 1, 4]])
+    emb2 = enc.apply(params, tokens2, output="embed")
+    assert emb2.shape == (1, 16)
+
+
+# ---------------------------------------------------------------------------
+# LPIPS plumbing
+# ---------------------------------------------------------------------------
+
+def _lpips_setup():
+    from moca_tpu.eval.metrics import AlexNetFeatures
+    net = AlexNetFeatures()
+    x = jnp.zeros((1, 64, 64, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    lin = [jnp.abs(jax.random.normal(jax.random.fold_in(
+        jax.random.PRNGKey(1), i), (c,))) for i, c in
+        enumerate([64, 192, 384, 256, 256])]
+    return params, lin
+
+
+def test_lpips_zero_for_identical_and_positive_otherwise():
+    from moca_tpu.eval.metrics import lpips
+    params, lin = _lpips_setup()
+    a = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3)) * 2 - 1
+    d_same = np.asarray(lpips(a, a, params, lin))
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
+    b = jnp.clip(a + 0.5, -1, 1)
+    d_diff = np.asarray(lpips(a, b, params, lin))
+    assert (d_diff > 0).all()
+    # symmetry
+    np.testing.assert_allclose(d_diff, np.asarray(lpips(b, a, params, lin)),
+                               rtol=1e-5)
+
+
+def test_lpips_wrappers_and_converter():
+    from moca_tpu.eval.metrics import (
+        convert_lpips_weights, lpips_i, lpips_t)
+    params, lin = _lpips_setup()
+    vid = jax.random.uniform(jax.random.PRNGKey(3), (3, 64, 64, 3)) * 2 - 1
+    assert float(lpips_t(vid, params, lin)) > 0
+    assert float(lpips_i(vid, vid, params, lin)) < 1e-6
+    # converter: synthetic torchvision-format state dicts land in the tree
+    rng = np.random.default_rng(4)
+    specs = {0: (64, 3, 11), 3: (192, 64, 5), 6: (384, 192, 3),
+             8: (256, 384, 3), 10: (256, 256, 3)}
+    alex_sd = {}
+    for i, (o, c, k) in specs.items():
+        alex_sd[f"features.{i}.weight"] = rng.standard_normal(
+            (o, c, k, k)).astype(np.float32)
+        alex_sd[f"features.{i}.bias"] = np.zeros(o, np.float32)
+    lp_sd = {f"lin{i}.model.1.weight":
+             np.abs(rng.standard_normal((1, ch, 1, 1))).astype(np.float32)
+             for i, ch in enumerate([64, 192, 384, 256, 256])}
+    p2, lin2 = convert_lpips_weights(alex_sd, lp_sd)
+    from moca_tpu.eval.metrics import AlexNetFeatures
+    out = AlexNetFeatures().apply(p2, jnp.zeros((1, 64, 64, 3)))
+    assert [f.shape[-1] for f in out] == [64, 192, 384, 256, 256]
+    assert [w.shape[0] for w in lin2] == [64, 192, 384, 256, 256]
