@@ -33,11 +33,71 @@ class CLIPVisionConfig:
     param_dtype: Any = jnp.float32
 
 
+def _cubic(x: "np.ndarray", a: float) -> "np.ndarray":
+    import numpy as np
+
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1, (a + 2) * ax**3 - (a + 3) * ax**2 + 1,
+        np.where(ax < 2, a * (ax**3 - 5 * ax**2 + 8 * ax - 4), 0.0))
+
+
+def bicubic_resize_weights(in_size: int, out_size: int,
+                           align_corners: bool = True,
+                           antialias: bool = True) -> "np.ndarray":
+    """[out, in] 1-D resampling matrix with EXACT torch `F.interpolate`
+    bicubic semantics (validated element-wise against CPU torch in
+    tests/test_oracle_i2v.py) — the reference's kornia.geometry.resize
+    (condition.py:266-269) delegates to the same kernel.
+
+    antialias=True: a=-0.5 kernel, width scaled by max(scale, 1), taps
+    renormalized; centers at scale·(d+0.5)−0.5 with the align_corners scale.
+    antialias=False: classic 4-tap a=-0.75 with border-clamped taps.
+    """
+    import numpy as np
+
+    if align_corners:
+        scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+    else:
+        scale = in_size / out_size
+    d = np.arange(out_size)
+    if antialias:
+        centers = scale * (d + 0.5) - 0.5
+        inv = 1.0 / max(scale, 1.0)
+        j = np.arange(in_size)
+        w = _cubic((j[None] - centers[:, None]) * inv, -0.5)
+        return (w / w.sum(-1, keepdims=True)).astype(np.float32)
+    centers = scale * d if align_corners else scale * (d + 0.5) - 0.5
+    W = np.zeros((out_size, in_size), np.float32)
+    base = np.floor(centers).astype(int)
+    for o in range(out_size):
+        for k in range(-1, 3):
+            idx = base[o] + k
+            W[o, np.clip(idx, 0, in_size - 1)] += _cubic(
+                np.float64(idx - centers[o]), -0.75)
+    return W
+
+
+def resize_bicubic(images: jnp.ndarray, out_hw,
+                   align_corners: bool = True,
+                   antialias: bool = True) -> jnp.ndarray:
+    """[B, H, W, C] → [B, out_h, out_w, C], torch-exact separable bicubic
+    (weights precomputed in numpy at trace time — shapes are static)."""
+    h, w = images.shape[1], images.shape[2]
+    wh = jnp.asarray(bicubic_resize_weights(h, out_hw[0], align_corners,
+                                            antialias))
+    ww = jnp.asarray(bicubic_resize_weights(w, out_hw[1], align_corners,
+                                            antialias))
+    x = jnp.einsum("oh,bhwc->bowc", wh, images.astype(jnp.float32))
+    return jnp.einsum("pw,bowc->bopc", ww, x)
+
+
 def preprocess(images: jnp.ndarray, image_size: int = 224) -> jnp.ndarray:
     """[B,H,W,3] in [-1,1] → CLIP-normalized [B,224,224,3]
-    (condition.py:264-272: bicubic resize, (x+1)/2, mean/std)."""
-    b = images.shape[0]
-    x = jax.image.resize(images, (b, image_size, image_size, 3), "bicubic")
+    (condition.py:264-272: kornia bicubic resize with align_corners=True,
+    antialias=True, then (x+1)/2 and CLIP mean/std)."""
+    x = resize_bicubic(images, (image_size, image_size),
+                       align_corners=True, antialias=True)
     x = (x + 1.0) / 2.0
     return (x - _CLIP_MEAN) / _CLIP_STD
 

@@ -147,10 +147,20 @@ class LatentVisualDiffusion(LatentDiffusion):
 
         if self.vision_cfg is not None:
             self._vision = CLIPVisionEncoder(self.vision_cfg)
+            # projector dims follow the model configs (the reference
+            # hardcodes input_dim=1024, cross_attention_dim=1024, dim=1280
+            # for the shipped towers, ddpm3d.py:666-686; deriving them keeps
+            # tiny test configs consistent)
             if self.finegrained:
-                self._proj = Resampler(num_queries=16)
+                self._proj = Resampler(
+                    dim=self.vision_cfg.output_dim, depth=4, dim_head=64,
+                    heads=12, num_queries=16,
+                    embedding_dim=self.vision_cfg.width,
+                    output_dim=self.unet_cfg.context_dim)
             else:
-                self._proj = ImageProjModel(clip_extra_context_tokens=4)
+                self._proj = ImageProjModel(
+                    clip_extra_context_tokens=4,
+                    cross_attention_dim=self.unet_cfg.context_dim)
 
     def get_image_embeds(self, images: jnp.ndarray) -> jnp.ndarray:
         """[B,H,W,3] in [-1,1] → [B, N, context_dim] cross-attn tokens
@@ -158,6 +168,38 @@ class LatentVisualDiffusion(LatentDiffusion):
         output = "tokens" if self.finegrained else "pooled"
         feats = self._vision.apply(self.vision_params, images, output=output)
         return self._proj.apply(self.proj_params, feats)
+
+
+def init_random_visual_model(
+    unet_cfg: UNetConfig,
+    vae_cfg: VAEConfig,
+    clip_cfg: CLIPTextConfig,
+    vision_cfg,
+    key: jax.Array,
+    latent_hw=(4, 4),
+    frames: int = 2,
+    finegrained: bool = False,
+) -> "LatentVisualDiffusion":
+    """Random-weight i2v model (LatentVisualDiffusion) for tests/benchmarks.
+    The U-Net should be built with use_image_attention=True so the image
+    tokens route through to_k_ip/to_v_ip (attention.py:82-124)."""
+    from moca_tpu.models.clip_vision import CLIPVisionEncoder
+
+    base = init_random_model(unet_cfg, vae_cfg, clip_cfg, key,
+                             latent_hw=latent_hw, frames=frames)
+    k_v, k_p = jax.random.split(jax.random.fold_in(key, 7))
+    vision = CLIPVisionEncoder(vision_cfg)
+    img = jnp.zeros((1, vision_cfg.image_size, vision_cfg.image_size, 3))
+    output = "tokens" if finegrained else "pooled"
+    v_params = vision.init(k_v, img, output=output)
+    feats = vision.apply(v_params, img, output=output)
+    model = LatentVisualDiffusion(
+        base.unet_cfg, base.vae_cfg, base.clip_cfg,
+        base.unet_params, base.vae_params, base.clip_params,
+        vision_cfg=vision_cfg, finegrained=finegrained)
+    model.vision_params = v_params
+    model.proj_params = model._proj.init(k_p, feats)
+    return model
 
 
 def init_random_model(
