@@ -50,6 +50,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=320)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--save_frames", action="store_true", default=True)
+    # The reference declares these three as store_true with default=True —
+    # impossible to disable (videocrafter_main.py:249-252 argparse bug).
+    # Divergence (DECISIONS.md): keep the reference surface, add negations.
+    p.add_argument("--no_save_frames", dest="save_frames",
+                   action="store_false")
+    p.add_argument("--no_use_mp4", dest="use_mp4", action="store_false",
+                   help="write .gif instead of .mp4")
+    p.add_argument("--no_lookahead_denoising", dest="lookahead_denoising",
+                   action="store_false")
     p.add_argument("--fps", type=int, default=10)
     p.add_argument("--unconditional_guidance_scale", type=float, default=12.0)
     p.add_argument("--lookahead_denoising", "-ld", action="store_true",
@@ -77,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fixed mode: let concept injection reach the FIFO "
                         "queue (the reference computes x_prev before "
                         "injection — see DECISIONS.md)")
+    p.add_argument("--tail_mode", type=str, default="freeinit",
+                   choices=["freeinit", "plain"],
+                   help="queue-tail refill on shift: freeinit = LPF anchor+"
+                        "noise mix (funcs.py:86-99), plain = fresh noise "
+                        "(the funcs_mp.py:39-46 multiprocess variant)")
     p.add_argument("--checkpoint_every", type=int, default=0,
                    help="mid-FIFO fault tolerance: snapshot the queue every "
                         "N output frames; a killed run resumes bit-exactly "
@@ -107,7 +121,8 @@ def load_pipeline(args) -> MoCAVideoPipeline:
         eta=args.eta, fps=args.fps,
         lookahead_denoising=args.lookahead_denoising,
         moca=moca, use_scale=cfg.diffusion.use_scale,
-        checkpoint_every=args.checkpoint_every)
+        checkpoint_every=args.checkpoint_every,
+        tail_mode=getattr(args, "tail_mode", "freeinit"))
 
 
 def set_directory(args, prompt: str, conditioned_image_path: str):

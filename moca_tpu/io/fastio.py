@@ -29,6 +29,9 @@ def _load():
     lib.uint8_to_float.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
         ctypes.c_size_t]
+    lib.pack_frames.argtypes = [
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t, ctypes.c_size_t]
     lib.fastio_abi_version.restype = ctypes.c_int
     assert lib.fastio_abi_version() == 1
     _LIB = lib
@@ -60,4 +63,21 @@ def uint8_to_float(x: np.ndarray) -> np.ndarray:
     lib.uint8_to_float(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), x.size)
+    return out
+
+
+def pack_frames(frames) -> np.ndarray:
+    """Assemble equally-shaped uint8 frames into one contiguous [T, ...]
+    clip buffer (multithreaded memcpy in native/fastio.cpp, replacing
+    np.stack's single-threaded copy on the FIFO→encoder path)."""
+    lib = _load()
+    frames = [np.ascontiguousarray(f, np.uint8) for f in frames]
+    shape = frames[0].shape
+    if any(f.shape != shape for f in frames):
+        raise ValueError("pack_frames requires equally-shaped frames")
+    out = np.empty((len(frames),) + shape, np.uint8)
+    ptr_t = ctypes.POINTER(ctypes.c_uint8)
+    ptrs = (ptr_t * len(frames))(*[f.ctypes.data_as(ptr_t) for f in frames])
+    lib.pack_frames(ptrs, out.ctypes.data_as(ptr_t), len(frames),
+                    frames[0].nbytes)
     return out

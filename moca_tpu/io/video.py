@@ -37,6 +37,15 @@ def uint8_to_tensor(img: np.ndarray) -> np.ndarray:
     return (img.astype(np.float32) / 255.0 - 0.5) * 2.0
 
 
+def stack_frames(frames: Sequence[np.ndarray]) -> np.ndarray:
+    """Equally-shaped frames → one contiguous [T, ...] clip buffer
+    (multithreaded native pack when built, else np.stack)."""
+    if (_HAVE_FASTIO and len(frames) > 1
+            and all(f.dtype == np.uint8 for f in frames)):
+        return _fastio.pack_frames(frames)
+    return np.stack(frames)
+
+
 def save_video(frames: Sequence[np.ndarray], path: str, fps: int = 10):
     """frames: list of [-1,1] float or uint8 [H,W,3] → mp4/gif by extension.
 
@@ -44,11 +53,12 @@ def save_video(frames: Sequence[np.ndarray], path: str, fps: int = 10):
     gif uses imageio/Pillow.
     """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    imgs = [f if f.dtype == np.uint8 else tensor_to_uint8(f) for f in frames]
+    imgs = stack_frames(
+        [f if f.dtype == np.uint8 else tensor_to_uint8(f) for f in frames])
     if path.endswith(".gif"):
         import imageio
 
-        imageio.mimsave(path, imgs, duration=int(1000 / fps))
+        imageio.mimsave(path, list(imgs), duration=int(1000 / fps))
         return
     import cv2
 

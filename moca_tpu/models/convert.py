@@ -408,10 +408,53 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     return {k: _np(v) for k, v in sd.items()}
 
 
+def extract_ema_weights(sd: StateDict, model_prefix: str = "model.",
+                        ema_prefix: str = "model_ema.") -> StateDict:
+    """Rebuild dotted `model.*` keys from LitEma's flattened shadow buffers.
+
+    The reference's LitEma registers one shadow buffer per trainable param
+    with the dots stripped from the name (lvdm/ema.py:16-21: `s_name =
+    name.replace('.','')`), so a use_ema checkpoint stores e.g.
+    `model_ema.diffusion_modelout2weight` next to
+    `model.diffusion_model.out.2.weight`. Inference wants the EMA weights
+    (ddpm3d.py ema_scope), so recover the dotted names by matching each
+    shadow key against the dot-stripped live-model keys and return a
+    state dict of `model.*`-keyed EMA values ready for convert_unet.
+    """
+    stripped: Dict[str, str] = {}
+    for k in sd:
+        if not k.startswith(model_prefix):
+            continue
+        dotted = k[len(model_prefix):]
+        s = dotted.replace(".", "")
+        if s in stripped:
+            raise ValueError(
+                f"ambiguous EMA name: {dotted!r} and {stripped[s]!r} both "
+                f"strip to {s!r}")
+        stripped[s] = dotted
+    out: StateDict = {}
+    for k, v in sd.items():
+        if not k.startswith(ema_prefix):
+            continue
+        s = k[len(ema_prefix):]
+        if s in ("decay", "num_updates"):
+            continue
+        if s not in stripped:
+            raise KeyError(f"EMA shadow {k!r} has no matching model param")
+        out[model_prefix + stripped[s]] = v
+    return out
+
+
 def convert_checkpoint(path: str, unet_cfg: UNetConfig, vae_cfg: VAEConfig,
-                       clip_cfg: CLIPTextConfig):
-    """One-call conversion of a VideoCrafter2 model.ckpt → three Flax trees."""
+                       clip_cfg: CLIPTextConfig, use_ema: bool = False):
+    """One-call conversion of a VideoCrafter2 model.ckpt → three Flax trees.
+
+    use_ema overlays the LitEma shadow weights (checkpoints trained with
+    conditioning_key use_ema; the shipped inference config has use_ema
+    false, so default off)."""
     sd = load_torch_state_dict(path)
+    if use_ema:
+        sd = {**sd, **extract_ema_weights(sd)}
     return (
         convert_unet(sd, unet_cfg),
         convert_vae(sd, vae_cfg),

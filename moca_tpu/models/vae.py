@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from moca_tpu.ops.norms import GroupNorm32
+from moca_tpu.utils import distributions
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,8 +212,7 @@ class AutoencoderKL(nn.Module):
         ddpm3d.py:458-465) or mode when sample=False / rng None."""
         mean, logvar = self.encode_moments(x)
         if sample and rng is not None:
-            std = jnp.exp(0.5 * logvar)
-            return mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+            return distributions.sample(mean, logvar, rng)
         return mean
 
     def decode(self, z):

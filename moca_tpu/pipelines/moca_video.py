@@ -64,6 +64,10 @@ class MoCAVideoPipeline:
     # `checkpoint_every` output frames the queue state is snapshotted; a
     # killed run restarts from the last snapshot.
     checkpoint_every: int = 0  # 0 = off
+    # tail refill on shift: "freeinit" = LPF-mixed anchor+noise
+    # (funcs.py:86-99, the mainline); "plain" = pure fresh noise
+    # (funcs_mp.py:39-46, the multiprocess path's variant).
+    tail_mode: str = "freeinit"
 
     def __post_init__(self):
         self.num_inference_steps = self.video_length * self.num_partitions
@@ -120,7 +124,8 @@ class MoCAVideoPipeline:
             mean, std = anchor
             anchor_latent = mean + std * jax.random.normal(
                 k_anchor, mean.shape, jnp.float32).astype(mean.dtype)
-        shifted = shift_queue(new_latents, k_shift, anchor=anchor_latent)
+        shifted = shift_queue(new_latents, k_shift, anchor=anchor_latent,
+                              tail_mode=self.tail_mode)
         if want_pred:
             return shifted, head, pred_low
         return shifted, head

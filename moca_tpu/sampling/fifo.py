@@ -148,13 +148,24 @@ def shift_queue(
     filter_type: str = "gaussian",
     d_s: float = 0.25,
     d_t: float = 0.25,
+    tail_mode: str = "freeinit",
 ) -> jnp.ndarray:
     """Pop head / push FreeInit-mixed tail (funcs.py:86-99).
 
     The new tail keeps the low frequencies of the anchor (queue slot 0 by
     default; the re-encoded last real frame in DAVIS mode) and takes the
     high frequencies of fresh noise through a gaussian LPF (d_s=d_t=0.25).
+
+    tail_mode="plain" reproduces the multiprocess path's variant instead
+    (funcs_mp.py:39-46 shift_latents): the new tail is pure fresh noise,
+    no FreeInit mixing and no anchor.
     """
+    if tail_mode == "plain":
+        tail = jax.random.normal(
+            key, latents[:, :1].shape, jnp.float32).astype(latents.dtype)
+        return jnp.concatenate([latents[:, 1:], tail], axis=1)
+    if tail_mode != "freeinit":
+        raise ValueError(f"unknown tail_mode {tail_mode!r}")
     if anchor is None:
         anchor = latents[:, 0]
     # anchor [B, h, w, C] — filter over (T=1,H,W) like the reference's

@@ -46,3 +46,24 @@ def test_num_inference_steps_forced_to_f_times_n():
         ["--video_length", "8", "--num_partitions", "3"])
     args.num_inference_steps = args.video_length * args.num_partitions
     assert args.num_inference_steps == 24
+
+
+def test_no_negations_disable_store_true_defaults():
+    """The reference's --save_frames/--use_mp4/-ld are store_true with
+    default=True — impossible to disable (videocrafter_main.py:249-252).
+    Divergence: --no_* negations actually turn them off."""
+    args = build_parser().parse_args(
+        ["--no_save_frames", "--no_use_mp4", "--no_lookahead_denoising"])
+    assert args.save_frames is False
+    assert args.use_mp4 is False
+    assert args.lookahead_denoising is False
+    # positive flags still work and defaults stay reference-faithful
+    args = build_parser().parse_args([])
+    assert (args.save_frames, args.use_mp4, args.lookahead_denoising) == (
+        True, True, True)
+
+
+def test_tail_mode_flag():
+    assert build_parser().parse_args([]).tail_mode == "freeinit"
+    assert build_parser().parse_args(
+        ["--tail_mode", "plain"]).tail_mode == "plain"

@@ -149,6 +149,26 @@ def test_shift_queue(sch):
     assert not np.allclose(np.asarray(out[:, -1]), np.asarray(latents[:, -1]))
 
 
+def test_shift_queue_plain_tail(sch):
+    """tail_mode='plain' is the funcs_mp.py:39-46 variant: pure fresh
+    noise, no FreeInit mix, anchor ignored."""
+    B, Q, h, w, C = 1, 6, 4, 4, 2
+    latents = jax.random.normal(jax.random.PRNGKey(0), (B, Q, h, w, C))
+    key = jax.random.PRNGKey(1)
+    out = fifo.shift_queue(latents, key, tail_mode="plain")
+    np.testing.assert_array_equal(
+        np.asarray(out[:, :-1]), np.asarray(latents[:, 1:]))
+    expect_tail = jax.random.normal(key, (B, 1, h, w, C), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(out[:, -1:]), np.asarray(expect_tail))
+    # anchor has no effect in plain mode
+    anchored = fifo.shift_queue(
+        latents, key, anchor=latents[:, 3] * 5.0, tail_mode="plain")
+    np.testing.assert_array_equal(np.asarray(anchored), np.asarray(out))
+    with pytest.raises(ValueError):
+        fifo.shift_queue(latents, key, tail_mode="bogus")
+
+
 def test_advance_prompt_index():
     """Scene switch timing (funcs.py:425-431): prompt j becomes active once
     i - (S - f) reaches cum_lengths[j]; clamps at the last prompt."""
