@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fixed mode: let concept injection reach the FIFO "
                         "queue (the reference computes x_prev before "
                         "injection — see DECISIONS.md)")
+    p.add_argument("--save_visualizations", action="store_true",
+                   default=False,
+                   help="dump the reference's per-step artifact set "
+                        "(pred_x0/mask/cond PNGs, ddim.py:611-641,849-899) "
+                        "host-side; the reference emits these unconditionally "
+                        "from inside the denoise loop")
     p.add_argument("--tail_mode", type=str, default="freeinit",
                    choices=["freeinit", "plain"],
                    help="queue-tail refill on shift: freeinit = LPF anchor+"
@@ -184,14 +190,19 @@ def main(args):
         cond_image = load_conditioning_image(
             data["conditioned_image_path"], latent_hw)
         frame_cb = None
+        viz = None
+        from moca_tpu.utils.visualization import VisualizationSink
         if args.save_frames:
             # per-frame PNG dump (funcs.py:362-365 fifo/{i}.png)
             from moca_tpu.io.video import tensor_to_uint8
-            from moca_tpu.utils.visualization import VisualizationSink
             sink = VisualizationSink(output_dir)
 
             def frame_cb(i, frame, _sink=sink):
                 _sink.frame(i, tensor_to_uint8(frame))
+
+        if args.save_visualizations:
+            viz = VisualizationSink(
+                os.path.join(output_dir, "visualizations"))
 
         video = pipe(
             prompt, jax.random.fold_in(root_key, idx),
@@ -199,7 +210,7 @@ def main(args):
             conditioned_prompt=data["conditioned_prompt"],
             gamma=data["gamma"],
             height=args.height, width=args.width,
-            latents_dir=latents_dir, frame_callback=frame_cb)
+            latents_dir=latents_dir, frame_callback=frame_cb, viz=viz)
         out = os.path.join(output_dir, prompt[:100])
         keep = video[-(args.new_video_length // 2):]  # videocrafter_main.py:230
         save_video(keep, out + (".mp4" if args.use_mp4 else ".gif"),

@@ -211,6 +211,7 @@ class MoCAVideoPipeline:
         frame_callback: Optional[Callable[[int, np.ndarray], None]] = None,
         mask_provider: Optional[Callable] = None,     # open-vocab segmentation
         target: Optional[str] = None,                 # detector text prompt
+        viz: Optional[object] = None,  # utils.visualization.VisualizationSink
     ) -> List[np.ndarray]:
         """Returns the generated frames as a list of [H, W, 3] float arrays
         in [-1, 1] (length = new_video_length + S - f, like the reference's
@@ -347,17 +348,25 @@ class MoCAVideoPipeline:
                     i, self.num_inference_steps, self.video_length,
                     lengths, j)  # funcs.py:427-431
                 step_ctx = embeds[j]
+            want_pred = seg_mode or viz is not None
             with timer.stage("fifo_iteration"):
-                if seg_mode:
-                    latents, head, pred_low = self._fifo_iteration(
-                        self.model.unet_params, latents, (step_ctx, uc),
-                        cond, mask_queue, g, iter_keys[i], False, True,
-                        anchor=anchor)
+                result = self._fifo_iteration(
+                    self.model.unet_params, latents, (step_ctx, uc),
+                    cond, mask_queue, g, iter_keys[i], masks is not None,
+                    want_pred, anchor=anchor)
+                if want_pred:
+                    latents, head, pred_low = result
                 else:
-                    latents, head = self._fifo_iteration(
-                        self.model.unet_params, latents, (step_ctx, uc),
-                        cond, mask_queue, g, iter_keys[i], masks is not None,
-                        anchor=anchor)
+                    latents, head = result
+            if viz is not None:
+                # host-side artifact dump mirroring the reference's inline
+                # pred_x0/mask/cond PNGs (ddim.py:611-641, 849-899)
+                k = pred_low.shape[1]
+                viz.moca_step(
+                    i, np.asarray(pred_low[0]), self.plan.timesteps[:k],
+                    mask=(np.asarray(mask_queue[0, 0])
+                          if mask_queue is not None else None),
+                    cond=(np.asarray(cond) if cond is not None else None))
             if masks is not None:
                 mask_queue = shift_masks(
                     mask_queue, jnp.asarray(mask_tail_src, jnp.float32))

@@ -108,3 +108,26 @@ def test_moca_pipeline_multiprompt(tiny_model, tmp_path):
         height=HEIGHT, width=WIDTH, latents_dir=str(tmp_path),
         multiprompts=[("scene one", 2), ("scene two", 2)])
     assert len(frames) == 4 + F * N - F
+
+
+def test_moca_pipeline_viz_artifacts(tiny_model, tmp_path):
+    """viz sink through the real pipeline: per-iteration pred_x0/mask/cond
+    PNGs mirroring the reference's inline dumps (ddim.py:611-641,849-899)."""
+    from moca_tpu.utils.visualization import VisualizationSink
+
+    pipe = MoCAVideoPipeline(
+        tiny_model, HashTokenizer(), video_length=F, num_partitions=N,
+        new_video_length=2, guidance_scale=7.5)
+    h, w = HEIGHT // 8, WIDTH // 8
+    cond_image = np.full((h, w, 4), 0.2, np.float32)
+    viz_dir = tmp_path / "visualizations"
+    frames = pipe(
+        "a mouse", jax.random.PRNGKey(6), cond_image=cond_image,
+        conditioned_prompt="a cat", gamma=0.5,
+        height=HEIGHT, width=WIDTH, latents_dir=str(tmp_path),
+        viz=VisualizationSink(str(viz_dir)))
+    assert len(frames) == 2 + F * N - F
+    pngs = sorted((viz_dir / "pred_x0").glob("pred_x0_step_*_frame_*.png"))
+    assert pngs, "no pred_x0 artifacts written"
+    assert (viz_dir / "masks").exists()  # cond preview lands in masks dir
+    assert list((viz_dir / "masks").glob("cond_image_step_*.png"))
