@@ -1,15 +1,19 @@
-"""Benchmark: sec per 16-frame 512×320 clip (50 DDIM steps) on one chip.
+"""Driver-captured benchmark on one real TPU chip.
 
-North star (BASELINE.md): < 30 s on v5e-8 for the full concept-mixed clip;
-tracked metrics = sec/clip and U-Net denoise steps/sec/chip. This bench
-measures the dominant cost — the CFG'd U-Net denoise loop at the flagship
-shape plus the per-frame VAE decode — with random bf16 weights (identical
-FLOPs/memory traffic to converted weights).
+Primary metric (the product path): **sec per output frame of the full MoCA
+FIFO iteration** at flagship shape — f=16 frames × n=4 partitions with
+lookahead → 8 windows × 2 CFG = one batch-16-window U-Net call + MoCA scan +
+queue shift + head decode, bf16, random weights (identical FLOPs/memory
+traffic to converted weights). Secondary fields carry the T2V clip metric
+(BASELINE.md north star: < 30 s / 16-frame 512×320 50-step clip on v5e-8)
+and an MFU estimate from the compiled HLO's flop count.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "s", "vs_baseline": N, ...}
-vs_baseline = baseline_seconds / measured_seconds (>1 ⇒ faster than the
-30 s target).
+vs_baseline = 30 s / (16 × sec_per_frame): >1 ⇒ a 16-frame slice of the
+FIFO stream beats the 30 s clip target.
+
+BENCH_MODE=fifo|t2v limits the run to one section (default: both).
 """
 
 from __future__ import annotations
@@ -20,6 +24,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Persistent compilation cache: first-ever compile of the 1.4B U-Net is
 # minutes on this host; subsequent bench runs (incl. the driver's) hit the
@@ -32,6 +37,22 @@ STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 FRAMES = 16
 H, W = 40, 64  # 512×320 → /8
 BASELINE_SECONDS = 30.0
+
+# bf16 peak per chip, for the MFU estimate (public figures)
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5": 459e12,        # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+}
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", str(device))
+    for prefix, peak in sorted(_PEAK_FLOPS.items(), key=lambda kv: -len(kv[0])):
+        if kind.startswith(prefix):
+            return peak
+    return 197e12
 
 
 def _random_params_like(shapes, key, scale=0.02):
@@ -46,30 +67,17 @@ def _random_params_like(shapes, key, scale=0.02):
     return jax.tree.unflatten(treedef, vals)
 
 
-def bench_fifo():
-    """sec per output frame of the full MoCA FIFO iteration at flagship
-    shape (f=16, n=4 lookahead → 8 windows ×2 CFG = one batch-256-frame
-    U-Net call + MoCA scan + shift + head decode)."""
-    import numpy as np
-
+def _flagship_models():
     from moca_tpu.models.unet3d import UNet3D, UNetConfig
     from moca_tpu.models.vae import AutoencoderKL, VAEConfig
-    from moca_tpu.sampling.ddim import make_cfg_eps_fn
-    from moca_tpu.sampling.fifo import fifo_step, make_fifo_plan, shift_queue
-    from moca_tpu.sampling.moca import MoCAConfig
-    from moca_tpu.schedule import make_schedule
 
     dtype = jnp.bfloat16
     ucfg = UNetConfig(dtype=dtype, param_dtype=dtype)
     vcfg = VAEConfig(dtype=dtype, param_dtype=dtype)
     unet = UNet3D(ucfg)
     vae = AutoencoderKL(vcfg)
-    f, n = 16, 4
-    sch = make_schedule(ddim_num_steps=f * n, ddim_eta=1.0)
-    plan = make_fifo_plan(np.asarray(sch.ddim_timesteps), f, n, True)
-
-    x = jnp.zeros((1, f, H, W, 4), jnp.float32)
-    ts = jnp.zeros((1, f), jnp.int32)
+    x = jnp.zeros((1, FRAMES, H, W, 4), jnp.float32)
+    ts = jnp.zeros((1, FRAMES), jnp.int32)
     ctx = jnp.zeros((1, 77, ucfg.context_dim), jnp.float32)
     ushapes = jax.eval_shape(lambda k: unet.init(k, x, ts, ctx, fps=16),
                              jax.random.PRNGKey(0))
@@ -78,6 +86,34 @@ def bench_fifo():
         lambda k: vae.init(k, jnp.zeros((1, H * 8, W * 8, 3))),
         jax.random.PRNGKey(0))
     vparams = _random_params_like(vshapes, jax.random.PRNGKey(2))
+    return unet, vae, ucfg, uparams, vparams, ctx
+
+
+def _hlo_flops(jitted, *args) -> float:
+    """Total flops of the compiled program (0 when the backend doesn't
+    expose cost analysis, e.g. some remote-compile paths)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_fifo() -> dict:
+    """sec per output frame of the full MoCA FIFO iteration at flagship
+    shape (f=16, n=4 lookahead → 8 windows ×2 CFG = one batch-256-frame
+    U-Net call + MoCA scan + shift + head decode)."""
+    from moca_tpu.sampling.ddim import make_cfg_eps_fn
+    from moca_tpu.sampling.fifo import fifo_step, make_fifo_plan, shift_queue
+    from moca_tpu.sampling.moca import MoCAConfig
+    from moca_tpu.schedule import make_schedule
+
+    unet, vae, ucfg, uparams, vparams, ctx = _flagship_models()
+    f, n = 16, 4
+    sch = make_schedule(ddim_num_steps=f * n, ddim_eta=1.0)
+    plan = make_fifo_plan(np.asarray(sch.ddim_timesteps), f, n, True)
     uc = jnp.zeros_like(ctx)
     cond_image = jnp.full((H, W, 4), 0.2)
 
@@ -99,13 +135,14 @@ def bench_fifo():
 
     latents = jax.random.normal(
         jax.random.PRNGKey(3), (1, plan.queue_length, H, W, 4))
+    n_runs = int(os.environ.get("BENCH_RUNS", "4"))
     t0 = time.perf_counter()
     latents, head = iteration(uparams, latents, jax.random.PRNGKey(4))
-    frame = decode(vparams, head)
+    # warm the decode at the BATCHED shape the timed loop uses — otherwise
+    # a fresh batch-n VAE compile lands inside the timed region
+    frame = decode(vparams, jnp.concatenate([head] * n_runs, axis=0))
     jax.block_until_ready(frame)
     compile_s = time.perf_counter() - t0
-
-    n_runs = int(os.environ.get("BENCH_RUNS", "4"))
     heads = []
     t0 = time.perf_counter()
     for i in range(n_runs):
@@ -115,40 +152,28 @@ def bench_fifo():
     jax.block_until_ready(frames)
     sec_per_frame = (time.perf_counter() - t0) / n_runs
 
-    print(json.dumps({
+    out = {
         "metric": "sec per output frame, full MoCA FIFO iteration "
                   "(f=16 n=4 lookahead, 8 windows, CFG, bf16, 1 chip)",
         "value": round(sec_per_frame, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / (sec_per_frame * 16), 3),
-        "compile_s": round(compile_s, 1),
+        "fifo_compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
-    }))
+    }
+    flops = _hlo_flops(iteration, uparams, latents, jax.random.PRNGKey(9))
+    if flops:
+        peak = _peak_flops(jax.devices()[0])
+        out["fifo_iteration_tflops"] = round(flops / 1e12, 1)
+        out["mfu_pct"] = round(100.0 * flops / (sec_per_frame * peak), 1)
+    return out
 
 
-def main():
-    from moca_tpu.models.unet3d import UNet3D, UNetConfig
-    from moca_tpu.models.vae import AutoencoderKL, VAEConfig
+def bench_t2v() -> dict:
     from moca_tpu.sampling.ddim import ddim_sample, make_cfg_eps_fn
     from moca_tpu.schedule import make_schedule
 
-    dtype = jnp.bfloat16
-    ucfg = UNetConfig(dtype=dtype, param_dtype=dtype)
-    vcfg = VAEConfig(dtype=dtype, param_dtype=dtype)
-    unet = UNet3D(ucfg)
-    vae = AutoencoderKL(vcfg)
-
-    x = jnp.zeros((1, FRAMES, H, W, 4), jnp.float32)
-    ts = jnp.zeros((1, FRAMES), jnp.int32)
-    ctx = jnp.zeros((1, 77, ucfg.context_dim), jnp.float32)
-    ushapes = jax.eval_shape(lambda k: unet.init(k, x, ts, ctx, fps=16),
-                             jax.random.PRNGKey(0))
-    uparams = _random_params_like(ushapes, jax.random.PRNGKey(1))
-    vshapes = jax.eval_shape(
-        lambda k: vae.init(k, jnp.zeros((1, H * 8, W * 8, 3))),
-        jax.random.PRNGKey(0))
-    vparams = _random_params_like(vshapes, jax.random.PRNGKey(2))
-
+    unet, vae, ucfg, uparams, vparams, ctx = _flagship_models()
     sch = make_schedule(ddim_num_steps=STEPS, ddim_eta=1.0)
     uc = jnp.zeros_like(ctx)
 
@@ -169,14 +194,12 @@ def main():
         flat = latents.reshape((FRAMES, H, W, 4))
         return vae.apply(params, flat, method=vae.decode)
 
-    # compile
     t0 = time.perf_counter()
     lat = sample(uparams, jax.random.PRNGKey(0))
     frames = decode(vparams, lat)
     jax.block_until_ready(frames)
     compile_s = time.perf_counter() - t0
 
-    # timed runs
     n_runs = int(os.environ.get("BENCH_RUNS", "3"))
     times = []
     for i in range(n_runs):
@@ -186,22 +209,34 @@ def main():
         jax.block_until_ready(frames)
         times.append(time.perf_counter() - t0)
     sec_per_clip = min(times)
-    steps_per_sec = STEPS / sec_per_clip
+    return {
+        "t2v_clip_s": round(sec_per_clip, 3),
+        "t2v_vs_baseline": round(BASELINE_SECONDS / sec_per_clip, 3),
+        "t2v_steps_per_sec_per_chip": round(STEPS / sec_per_clip, 3),
+        "t2v_compile_s": round(compile_s, 1),
+    }
 
-    print(json.dumps({
-        "metric": f"sec per {FRAMES}-frame 512x320 clip ({STEPS} DDIM steps, "
-                  f"CFG, bf16, 1 chip)",
-        "value": round(sec_per_clip, 3),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / sec_per_clip, 3),
-        "steps_per_sec_per_chip": round(steps_per_sec, 3),
-        "compile_s": round(compile_s, 1),
-        "device": str(jax.devices()[0]),
-    }))
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "all")
+    if mode == "t2v":
+        t2v = bench_t2v()
+        result = {
+            "metric": f"sec per {FRAMES}-frame 512x320 clip ({STEPS} DDIM "
+                      "steps, CFG, bf16, 1 chip)",
+            "value": t2v["t2v_clip_s"],
+            "unit": "s",
+            "vs_baseline": t2v["t2v_vs_baseline"],
+            "device": str(jax.devices()[0]),
+            **t2v,
+        }
+    elif mode == "fifo":
+        result = bench_fifo()
+    else:
+        result = bench_fifo()
+        result.update(bench_t2v())
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE") == "fifo":
-        bench_fifo()
-    else:
-        main()
+    main()

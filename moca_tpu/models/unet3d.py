@@ -175,8 +175,8 @@ class TemporalConvBlock(nn.Module):
         ks = (3, 3, 3) if self.spatial_aware else (3, 1, 1)
         identity = x
         for i, name in enumerate(["conv1", "conv2", "conv3", "conv4"]):
-            x = GroupNorm32(32, name=f"{name}_norm", param_dtype=self.param_dtype)(x)
-            x = nn.silu(x)
+            x = GroupNorm32(32, name=f"{name}_norm",
+                            param_dtype=self.param_dtype, act="silu")(x)
             # spatial_aware widens only conv1/conv2; conv3/conv4 stay (3,1,1)
             # in the reference (openaimodel3d.py:249-264)
             kernel = ks if i < 2 else (3, 1, 1)
@@ -205,8 +205,8 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, batch_size: int):
         in_ch = x.shape[-1]
-        h = GroupNorm32(32, name="in_norm", param_dtype=self.param_dtype)(x)
-        h = nn.silu(h)
+        h = GroupNorm32(32, name="in_norm", param_dtype=self.param_dtype,
+                        act="silu")(x)
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
                     param_dtype=self.param_dtype, name="in_conv")(h)
 
@@ -214,8 +214,8 @@ class ResBlock(nn.Module):
                      param_dtype=self.param_dtype, name="emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :].astype(h.dtype)
 
-        h = GroupNorm32(32, name="out_norm", param_dtype=self.param_dtype)(h)
-        h = nn.silu(h)
+        h = GroupNorm32(32, name="out_norm", param_dtype=self.param_dtype,
+                        act="silu")(h)
         h = _zero_conv(self.out_channels, (3, 3), self.dtype, self.param_dtype,
                        name="out_conv")(h)
 
@@ -684,8 +684,8 @@ class UNet3D(nn.Module):
                       for j, s in enumerate(block)]
             h = self._apply_block(layers, h, emb, ctx, b, nta)
 
-        h = GroupNorm32(32, name="out_norm", param_dtype=cfg.param_dtype)(h)
-        h = nn.silu(h)
+        h = GroupNorm32(32, name="out_norm", param_dtype=cfg.param_dtype,
+                        act="silu")(h)
         h = _zero_conv(cfg.out_channels, (3, 3), cfg.dtype, cfg.param_dtype,
                        name="out_conv")(h)
         return h.reshape(b, t, hh, ww, cfg.out_channels).astype(x.dtype)

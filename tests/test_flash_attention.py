@@ -20,13 +20,7 @@ def test_pick_block():
     assert _pick_block(160) == 32
 
 
-@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
-@pytest.mark.parametrize("b,s,h,d", [
-    (2, 2560, 5, 64),   # flash path
-    (2, 640, 10, 64),   # small-S batched-rows path
-    (2, 160, 20, 64),
-])
-def test_flash_matches_xla_tpu(b, s, h, d):
+def _check_flash(b, s, h, d):
     from moca_tpu.ops.attention import _xla_attention
     from moca_tpu.ops.flash_attention import flash_attention
 
@@ -41,7 +35,20 @@ def test_flash_matches_xla_tpu(b, s, h, d):
     assert err < 0.02, err
 
 
+CASES = [
+    (2, 2560, 5, 64),   # flash path
+    (2, 640, 10, 64),   # small-S batched-rows path
+    (2, 160, 20, 64),
+]
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+@pytest.mark.parametrize("b,s,h,d", CASES)
+def test_flash_matches_xla_tpu(b, s, h, d):
+    _check_flash(b, s, h, d)
+
+
 if __name__ == "__main__":
-    for b, s, h, d in [(2, 2560, 5, 64), (2, 640, 10, 64), (2, 160, 20, 64)]:
-        test_flash_matches_xla_tpu.__wrapped__(b, s, h, d)
+    for b, s, h, d in CASES:
+        _check_flash(b, s, h, d)
         print(f"ok s={s}")
