@@ -305,6 +305,12 @@ class CrossAttention(nn.Module):
             return nn.Dense(out_dim, dtype=self.dtype,
                             param_dtype=self.param_dtype, name="to_out")(out)
 
+        # Text cross-attention (kv=77) stays on XLA: a packed masked-kv
+        # Pallas kernel (no head transposes, VMEM logits) measured
+        # 1.987 → 2.009 s/frame on the r2 FIFO bench — the custom call's
+        # canonical-layout requirement plus the 5× masked-head flop
+        # redundancy outweigh the saved f32 HBM logits.
+
         qh = q.reshape(b, sq, h, d)
         kh = k.reshape(b, sk, h, d)
         vh = v.reshape(b, sk, h, d)

@@ -49,6 +49,6 @@ def test_flash_matches_xla_tpu(b, s, h, d):
 
 
 if __name__ == "__main__":
-    for b, s, h, d in CASES:
-        _check_flash(b, s, h, d)
-        print(f"ok s={s}")
+    for b, s_, h, d in CASES:
+        _check_flash(b, s_, h, d)
+        print(f"ok s={s_}")
