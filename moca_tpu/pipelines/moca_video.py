@@ -329,9 +329,17 @@ class MoCAVideoPipeline:
             if not pending_heads:
                 return
             batch = jnp.concatenate(pending_heads, axis=0)
+            k = batch.shape[0]
+            if k < self.decode_batch:
+                # pad the final partial batch up to the jitted shape — a
+                # second batch-k VAE program would cost another full
+                # remote compile (~1 min) for one flush
+                batch = jnp.concatenate(
+                    [batch, jnp.repeat(batch[-1:], self.decode_batch - k,
+                                       axis=0)], axis=0)
             with timer.stage("decode"):
                 decoded = np.asarray(
-                    self._decode_heads(self.model.vae_params, batch))
+                    self._decode_heads(self.model.vae_params, batch))[:k]
             base = len(frames_out)
             for n, frame in enumerate(decoded):
                 frames_out.append(frame)

@@ -119,6 +119,8 @@ def main():
             "temporal_consistency": float(temporal_lpips_proxy((vid + 1) / 2)),
             "frame_ssim_adjacent": float(
                 np.mean(np.asarray(ssim((vid[:-1] + 1) / 2, (vid[1:] + 1) / 2)))),
+            "frame_psnr_adjacent": float(
+                np.mean(np.asarray(psnr((vid[:-1] + 1) / 2, (vid[1:] + 1) / 2)))),
         }
 
         # source (unmixed) video from the cached base latents — the CASS /
