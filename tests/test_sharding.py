@@ -109,3 +109,55 @@ def test_dryrun_multichip_irregular():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(3)
+
+
+def test_sharded_fifo_step_seg_path_matches_unsharded():
+    """The injection + pre-injection-pred path (masks, cond_image,
+    with_pred_x0 — the open-vocab loop's device side) must be identical
+    under the mesh, including on a pure-fifo (1, 8) mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import numpy as np
+    from moca_tpu.models.unet3d import UNetConfig, UNet3D
+    from moca_tpu.sampling.ddim import make_cfg_eps_fn
+    from moca_tpu.sampling.fifo import fifo_step, make_fifo_plan
+    from moca_tpu.sampling.moca import MoCAConfig
+    from moca_tpu.schedule import make_schedule
+
+    f, n_part = 4, 2
+    mesh = make_mesh((1, 8))  # pure fifo-axis mesh
+    cfg = UNetConfig(model_channels=32, num_head_channels=8, context_dim=16,
+                     channel_mult=(1, 2), attention_resolutions=(1, 2),
+                     num_res_blocks=1, temporal_length=f)
+    unet = UNet3D(cfg)
+    h = w = 8
+    params = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, f, h, w, 4)),
+                       jnp.zeros((1, f), jnp.int32),
+                       jnp.zeros((1, 7, cfg.context_dim)), fps=16)
+    sch = make_schedule(ddim_num_steps=f * n_part, ddim_eta=1.0)
+    plan = make_fifo_plan(np.asarray(sch.ddim_timesteps), f, n_part, True)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 7, cfg.context_dim))
+    uc = jnp.zeros_like(ctx)
+    latents = jax.random.normal(jax.random.PRNGKey(2),
+                                (1, plan.queue_length, h, w, 4))
+    masks = (jax.random.uniform(jax.random.PRNGKey(4),
+                                (1, plan.queue_length, h, w, 1)) > 0.5
+             ).astype(jnp.float32)
+    cond = jnp.full((h, w, 4), 0.3)
+
+    def apply(p, xx, tt, cc, fps=16):
+        return unet.apply(p, xx, tt, cc, fps=fps)
+
+    def run(unet_apply):
+        eps_fn = make_cfg_eps_fn(unet_apply, params, ctx, uc, 7.5)
+        return fifo_step(eps_fn, sch, plan, MoCAConfig(), latents,
+                         jax.random.PRNGKey(3), cond_image=cond,
+                         masks=masks, masks_are_davis=True, gamma=0.4,
+                         with_pred_x0=True)
+
+    plain = jax.jit(lambda: run(apply))()
+    sharded_apply = make_sharded_unet_apply(apply, mesh)
+    with jax.set_mesh(mesh):
+        sharded = jax.jit(lambda: run(sharded_apply))()
+    for a, b in zip(plain, sharded):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
