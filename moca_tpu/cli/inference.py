@@ -105,7 +105,8 @@ def main(args):
         model, load_tokenizer(args.bpe_path), num_steps=args.ddim_steps,
         eta=args.ddim_eta, use_scale=cfg.diffusion.use_scale,
         guidance_scale=args.unconditional_guidance_scale, fps=args.fps,
-        temporal_cfg_scale=args.unconditional_guidance_scale_temporal)
+        temporal_cfg_scale=args.unconditional_guidance_scale_temporal,
+        uncond_type=cfg.diffusion.uncond_type)
 
     with open(args.prompt_file) as f:
         prompts = [l.strip() for l in f if l.strip()]

@@ -128,7 +128,8 @@ def load_pipeline(args) -> MoCAVideoPipeline:
         lookahead_denoising=args.lookahead_denoising,
         moca=moca, use_scale=cfg.diffusion.use_scale,
         checkpoint_every=args.checkpoint_every,
-        tail_mode=getattr(args, "tail_mode", "freeinit"))
+        tail_mode=getattr(args, "tail_mode", "freeinit"),
+        uncond_type=cfg.diffusion.uncond_type)
 
 
 def set_directory(args, prompt: str, conditioned_image_path: str):

@@ -68,6 +68,7 @@ class MoCAVideoPipeline:
     # (funcs.py:86-99, the mainline); "plain" = pure fresh noise
     # (funcs_mp.py:39-46, the multiprocess path's variant).
     tail_mode: str = "freeinit"
+    uncond_type: str = "empty_seq"  # ddpm3d.py:397 empty_seq | zero_embed
 
     def __post_init__(self):
         self.num_inference_steps = self.video_length * self.num_partitions
@@ -79,7 +80,8 @@ class MoCAVideoPipeline:
             self.num_partitions, self.lookahead_denoising)
         self.base = T2VPipeline(
             self.model, self.sch, self.tokenizer,
-            guidance_scale=self.guidance_scale, fps=self.fps)
+            guidance_scale=self.guidance_scale, fps=self.fps,
+            uncond_type=self.uncond_type)
 
     # ------------------------------------------------------------------
     # jitted step: all FIFO windows + MoCA + shift in one compiled graph
@@ -238,7 +240,7 @@ class MoCAVideoPipeline:
             # concat (ddpm3d.py:710-712): token-axis concatenation
             ctx2 = self.base.encode_prompts([conditioned_prompt])
             ctx = jnp.concatenate([ctx, ctx2], axis=1)
-        uc = (self.base.uncond_context(1)
+        uc = (self.base.uncond_context(1, like=ctx)
               if self.guidance_scale != 1.0 else None)
         if uc is not None and ctx.shape[1] != uc.shape[1]:
             reps = ctx.shape[1] // uc.shape[1]

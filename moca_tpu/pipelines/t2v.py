@@ -31,18 +31,20 @@ class T2VPipeline:
     fps: int = 10
     uc_type: object = None               # ddim.py:303-311 CFG variants
     temporal_cfg_scale: object = None    # funcs.py:121 temporal guidance
+    uncond_type: str = "empty_seq"       # ddpm3d.py:397; funcs.py:128-134
 
     @classmethod
     def build(cls, model, tokenizer, num_steps: int = 50, eta: float = 1.0,
               use_scale: bool = True, guidance_scale: float = 12.0,
               fps: int = 10, uc_type=None, temporal_cfg_scale=None,
-              **sched_kw):
+              uncond_type: str = "empty_seq", **sched_kw):
         # num_steps ≤ 0 selects ancestral DDPM sampling (inference.py:28);
         # the DDIM buffers still need a valid length for the schedule pytree
         sch = make_schedule(ddim_num_steps=max(num_steps, 1), ddim_eta=eta,
                             use_scale=use_scale, **sched_kw)
         return cls(model, sch, tokenizer, guidance_scale, fps,
-                   uc_type=uc_type, temporal_cfg_scale=temporal_cfg_scale)
+                   uc_type=uc_type, temporal_cfg_scale=temporal_cfg_scale,
+                   uncond_type=uncond_type)
 
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -53,9 +55,19 @@ class T2VPipeline:
         tokens = jnp.asarray(self.tokenizer(list(prompts)))
         return self._encode_tokens(self.model.clip_params, tokens)
 
-    def uncond_context(self, batch: int) -> jnp.ndarray:
-        """empty-prompt embedding (uncond_type='empty_seq',
-        funcs.py:199-216)."""
+    def uncond_context(self, batch: int,
+                       like: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Unconditional CFG context: empty-prompt embedding
+        (uncond_type='empty_seq', funcs.py:199-216) or zeros shaped like
+        the cond context ('zero_embed', funcs.py:128-134; the only two
+        values ddpm3d.py:397 admits)."""
+        if self.uncond_type == "zero_embed":
+            if like is not None:
+                return jnp.zeros((batch,) + like.shape[1:], like.dtype)
+            return jnp.zeros(
+                (batch, 77, self.model.unet_cfg.context_dim), jnp.float32)
+        if self.uncond_type != "empty_seq":
+            raise NotImplementedError(self.uncond_type)
         return self.encode_prompts([""] * batch)
 
     # ------------------------------------------------------------------
@@ -78,7 +90,8 @@ class T2VPipeline:
         """Returns (clean_latents, initial_noise) — both cached by the MoCA
         pipeline (the reference saves 0.pt / {S}.pt, ddim.py:233-250)."""
         ctx = self.encode_prompts([prompt])
-        uc = self.uncond_context(1) if self.guidance_scale != 1.0 else None
+        uc = (self.uncond_context(1, like=ctx)
+              if self.guidance_scale != 1.0 else None)
         h, w, c = latent_shape
         shape = (1, frames, h, w, c)
         return self._sample_latents(self.model.unet_params, (ctx, uc), key,
@@ -123,7 +136,8 @@ class T2VPipeline:
         batch_ddim_sampling's uc_img, funcs.py:136-141).
         use_ddpm: full ancestral sampling instead of DDIM."""
         ctx = self.encode_prompts([prompt])
-        uc = self.uncond_context(1) if self.guidance_scale != 1.0 else None
+        uc = (self.uncond_context(1, like=ctx)
+              if self.guidance_scale != 1.0 else None)
         if image_tokens is not None:
             ctx = jnp.concatenate([ctx, image_tokens], axis=1)
             if uc is not None:
@@ -150,7 +164,8 @@ class T2VPipeline:
         h, w = height // 8, width // 8
         shape = (1, frames, h, w, 4)
         ctx = self.encode_prompts([prompt])
-        uc = self.uncond_context(1) if self.guidance_scale != 1.0 else None
+        uc = (self.uncond_context(1, like=ctx)
+              if self.guidance_scale != 1.0 else None)
 
         key, k0 = jax.random.split(key)
         latents, _ = self._sample_latents(self.model.unet_params, (ctx, uc),
