@@ -267,3 +267,82 @@ def test_reference_mask_index_corruption(tmp_path, monkeypatch):
         masks=jnp.asarray(masks), masks_are_davis=True,
         gamma=jnp.float32(0.0))
     assert not np.allclose(np.asarray(pred_x0_fixed), pred_x0_ref, atol=1e-3)
+
+
+@pytest.mark.parametrize("use_scale,uc_type", [
+    (False, None),
+    (True, None),            # the VideoCrafter2 use_scale correction
+    (False, "cfg_original"),
+    (False, "cfg_ours"),
+])
+def test_p_sample_ddim_oracle(tmp_path, monkeypatch, use_scale, uc_type):
+    """The real torch `p_sample_ddim` (ddim.py:273-359) vs our
+    `ddim_step_math` + CFG combine — including the use_scale latent
+    rescale (ddim.py:349-355) against the actual reference code (our
+    prior coverage was closed-form only). apply_model is stubbed with a
+    deterministic eps per conditioning (eta=0 → no noise)."""
+    ref_ddim = _load_ddim_sampler()
+    import torch
+
+    from moca_tpu.sampling.ddim import ddim_step_math, make_cfg_eps_fn
+
+    monkeypatch.chdir(tmp_path)
+    sch = make_schedule(ddim_num_steps=STEPS, ddim_eta=0.0,
+                        use_scale=use_scale, scale_b=0.7)
+    model = types.SimpleNamespace(
+        num_timesteps=1000,
+        alphas_cumprod=torch.from_numpy(np.asarray(sch.alphas_cumprod)),
+        betas=torch.from_numpy(np.asarray(sch.betas)),
+        alphas_cumprod_prev=torch.from_numpy(
+            np.asarray(sch.alphas_cumprod_prev)),
+        device="cpu",
+        use_scale=use_scale,
+        scale_arr=torch.from_numpy(np.asarray(sch.scale_arr)),
+    )
+    sampler = ref_ddim.DDIMSampler(model, use_self_attention=True)
+    sampler.register_buffer = types.MethodType(
+        lambda self, name, attr: setattr(self, name, attr), sampler)
+    sampler.make_schedule(ddim_num_steps=STEPS, ddim_eta=0.0, verbose=False)
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, F, H, W, C)).astype(np.float32)
+    eps_c = rng.standard_normal((1, F, H, W, C)).astype(np.float32) * 0.3
+    eps_u = rng.standard_normal((1, F, H, W, C)).astype(np.float32) * 0.3
+    guidance = 7.5
+    index = 5
+    t = int(np.asarray(sch.ddim_timesteps)[index])
+
+    # must be tensors: p_sample_ddim type-dispatches on c (ddim.py:294-301)
+    cond_marker, uncond_marker = torch.zeros(1), torch.ones(1)
+    eps_c_t = torch.from_numpy(np.moveaxis(eps_c, -1, 1)).contiguous()
+    eps_u_t = torch.from_numpy(np.moveaxis(eps_u, -1, 1)).contiguous()
+
+    def apply_model(xx, tt, cc, **kw):
+        return eps_c_t if cc is cond_marker else eps_u_t
+
+    model.apply_model = apply_model
+    with torch.no_grad():
+        x_prev_t, pred_x0_t = sampler.p_sample_ddim(
+            torch.from_numpy(np.moveaxis(x, -1, 1)).contiguous(),
+            cond_marker, torch.tensor([t]), index,
+            unconditional_guidance_scale=guidance,
+            unconditional_conditioning=uncond_marker, uc_type=uc_type)
+    x_prev_ref = np.moveaxis(x_prev_t.numpy(), 1, -1)
+    pred_x0_ref = np.moveaxis(pred_x0_t.numpy(), 1, -1)
+
+    # our side: CFG combine on the same fixed eps pair, then the step math
+    if uc_type is None:
+        e = eps_u + guidance * (eps_c - eps_u)
+    elif uc_type == "cfg_original":
+        e = eps_c + guidance * (eps_c - eps_u)
+    else:
+        e = eps_c + guidance * (eps_u - eps_c)
+    # sanity: the combine formulas themselves are oracle-matched through
+    # make_cfg_eps_fn elsewhere (tests/test_cfg_variants.py)
+    x_prev_f, pred_x0_f = ddim_step_math(
+        sch, jnp.asarray(x), jnp.asarray(e), jnp.asarray(index),
+        jnp.zeros_like(jnp.asarray(x)))
+    np.testing.assert_allclose(np.asarray(x_prev_f), x_prev_ref,
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pred_x0_f), pred_x0_ref,
+                               atol=2e-5, rtol=1e-5)
