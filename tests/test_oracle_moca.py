@@ -346,3 +346,51 @@ def test_p_sample_ddim_oracle(tmp_path, monkeypatch, use_scale, uc_type):
                                atol=2e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(pred_x0_f), pred_x0_ref,
                                atol=2e-5, rtol=1e-5)
+
+
+def test_decode_and_stochastic_encode_oracle(tmp_path, monkeypatch):
+    """The real torch `DDIMSampler.decode` (ddim.py:674-692) and
+    `stochastic_encode` (:651-671) vs `ddim_decode`/`stochastic_encode`.
+    apply_model stubbed with an eps that depends on x (so every step's
+    chaining is exercised); eta=0 → deterministic."""
+    ref_ddim = _load_ddim_sampler()
+    import torch
+
+    from moca_tpu.sampling.ddim import ddim_decode, stochastic_encode
+
+    monkeypatch.chdir(tmp_path)
+    sch = make_schedule(ddim_num_steps=STEPS, ddim_eta=0.0, use_scale=False)
+    sampler = _make_sampler(ref_ddim, sch)
+
+    rng = np.random.default_rng(5)
+    x0 = rng.standard_normal((1, F, H, W, C)).astype(np.float32)
+
+    # stochastic_encode with explicit noise (the reference accepts one)
+    noise = rng.standard_normal((1, F, H, W, C)).astype(np.float32)
+    t_idx = 5
+    enc_ref = sampler.stochastic_encode(
+        torch.from_numpy(np.moveaxis(x0, -1, 1)).contiguous(),
+        torch.tensor([t_idx]),
+        noise=torch.from_numpy(np.moveaxis(noise, -1, 1)).contiguous())
+    enc_ours = stochastic_encode(sch, jnp.asarray(x0), t_idx,
+                                 noise=jnp.asarray(noise))
+    np.testing.assert_allclose(
+        np.asarray(enc_ours), np.moveaxis(enc_ref.numpy(), 1, -1),
+        atol=2e-6)
+
+    # decode: x-dependent eps so each step feeds the next
+    def apply_model(xx, tt, cc, **kw):
+        return 0.1 * xx + 0.05
+
+    sampler.model.apply_model = apply_model
+    t_start = 5
+    with torch.no_grad():
+        dec_ref = sampler.decode(
+            torch.from_numpy(np.moveaxis(x0, -1, 1)).contiguous(),
+            torch.zeros(1), t_start)
+    eps_fn = lambda xx, tf: 0.1 * xx + 0.05
+    dec_ours = ddim_decode(eps_fn, sch, jnp.asarray(x0), t_start,
+                           jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(dec_ours), np.moveaxis(dec_ref.numpy(), 1, -1),
+        atol=2e-5, rtol=1e-5)
