@@ -45,9 +45,9 @@ class GroupNorm32(nn.Module):
     Same semantics as torch.nn.GroupNorm (groups partition the channel
     axis); see module docstring for the two-stage reduction rationale.
 
-    act="silu" fuses the activation into the norm's elementwise pass —
-    on TPU, eligible shapes route to the single-pass Pallas kernel
-    (ops/group_norm.py) instead of the two-stage XLA reduction.
+    act="silu" applies the activation inside the norm's elementwise pass
+    (XLA fuses it into the consuming conv's input either way — see the
+    measured Pallas negative-result note below).
     """
 
     num_groups: int = 32
