@@ -61,7 +61,8 @@ def test_cli_main_prompt_mode(tiny_pipe, monkeypatch, tmp_path):
         f"a red fox,cat,{cond},a cat,0.4\n")
     out_root = tmp_path / "out"
     args = _base_args(["--prompt_file", str(csv),
-                       "--output_dir", str(out_root)])
+                       "--output_dir", str(out_root),
+                       "--save_visualizations"])
     cli_main.main(args)
 
     # output layout: {output_dir}/{image stem}/{prompt[:100]}.mp4
@@ -70,6 +71,10 @@ def test_cli_main_prompt_mode(tiny_pipe, monkeypatch, tmp_path):
     # --save_frames default-on: streaming per-frame PNGs (funcs.py:362-365)
     fifo_dir = out_root / "cat" / "fifo"
     assert sorted(os.listdir(fifo_dir))[0] == "0.png"
+    # --save_visualizations: the reference's inline artifact set, host-side
+    viz = out_root / "cat" / "visualizations"
+    assert list((viz / "pred_x0").glob("pred_x0_step_*_frame_*.png"))
+    assert list((viz / "masks").glob("cond_image_step_*.png"))
     # latent cache written with the reference's resume contract
     steps = F * N
     lat = (tmp_path / "results" / "moca_tpu" / "latents" / f"{steps}steps"
