@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fixed mode: let concept injection reach the FIFO "
                         "queue (the reference computes x_prev before "
                         "injection — see DECISIONS.md)")
+    p.add_argument("--multiprompts", nargs="+", default=None,
+                   help="multi-scene stream: N prompts followed by ONE "
+                        "comma-separated list of N frame counts — the "
+                        "convention of fifo_ddim_sampling_multiprompts "
+                        "(funcs.py:375-381), which the reference never "
+                        "exposed on a CLI")
     p.add_argument("--save_visualizations", action="store_true",
                    default=False,
                    help="dump the reference's per-step artifact set "
@@ -205,13 +211,23 @@ def main(args):
             viz = VisualizationSink(
                 os.path.join(output_dir, "visualizations"))
 
+        multiprompts = None
+        if args.multiprompts:
+            *mp_prompts, mp_lengths = args.multiprompts
+            counts = [int(v) for v in mp_lengths.split(",")]
+            assert len(counts) == len(mp_prompts), (
+                "--multiprompts needs N prompts + one comma-separated "
+                "list of N frame counts")
+            multiprompts = list(zip(mp_prompts, counts))
+
         video = pipe(
             prompt, jax.random.fold_in(root_key, idx),
             cond_image=cond_image,
             conditioned_prompt=data["conditioned_prompt"],
             gamma=data["gamma"],
             height=args.height, width=args.width,
-            latents_dir=latents_dir, frame_callback=frame_cb, viz=viz)
+            latents_dir=latents_dir, frame_callback=frame_cb, viz=viz,
+            multiprompts=multiprompts)
         out = os.path.join(output_dir, prompt[:100])
         keep = video[-(args.new_video_length // 2):]  # videocrafter_main.py:230
         save_video(keep, out + (".mp4" if args.use_mp4 else ".gif"),

@@ -235,6 +235,7 @@ class MoCAVideoPipeline:
 
         # 1. conditioning
         ctx = self.base.encode_prompts([prompt])
+        ctx2 = None
         if conditioned_prompt:
             # videocrafter_main.py:210-211 + DiffusionWrapper crossattn
             # concat (ddpm3d.py:710-712): token-axis concatenation
@@ -248,7 +249,16 @@ class MoCAVideoPipeline:
 
         prompt_schedule = None
         if multiprompts:
-            embeds = [self.base.encode_prompts([p]) for p, _ in multiprompts]
+            # every scene context gets the same conditioned-prompt concat
+            # as the base context — all contexts in the stream must share
+            # one token length for the CFG batch (the reference's
+            # multiprompts path never co-existed with the concept concat)
+            embeds = []
+            for p, _ in multiprompts:
+                e = self.base.encode_prompts([p])
+                if ctx2 is not None:
+                    e = jnp.concatenate([e, ctx2], axis=1)
+                embeds.append(e)
             lengths = np.cumsum([n for _, n in multiprompts])
             prompt_schedule = (embeds, lengths)
 

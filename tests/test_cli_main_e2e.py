@@ -109,3 +109,45 @@ def test_cli_main_davis_mode(tiny_pipe, monkeypatch, tmp_path):
     cli_main.main(args)
     vid = out_root / "concept" / "bear.gif"
     assert vid.exists() and vid.stat().st_size > 0
+
+
+def test_cli_main_multiprompts(tiny_pipe, monkeypatch, tmp_path):
+    """--multiprompts uses the reference's own convention (N prompts + one
+    comma-separated length list, funcs.py:375-381) to drive the
+    multi-scene stream from the CLI."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(cli_main, "load_pipeline", lambda a: tiny_pipe)
+    cond = tmp_path / "cat.png"
+    Image.fromarray(np.full((16, 16, 4), 128, np.uint8), "RGBA").save(cond)
+    csv = tmp_path / "prompts.csv"
+    csv.write_text(
+        "prompt,conditioned_object,conditioned_image_path,"
+        "conditioned_prompt,gamma\n"
+        f"a red fox,cat,{cond},a cat,0.4\n")
+    out_root = tmp_path / "out_mp"
+    args = _base_args([
+        "--prompt_file", str(csv), "--output_dir", str(out_root),
+        "--no_save_frames",
+        "--multiprompts", "a red fox", "a blue bird", "1,1"])
+    cli_main.main(args)
+    assert (out_root / "cat" / "a red fox.mp4").exists()
+
+
+def test_multiprompts_flag_validation():
+    args = cli_main.build_parser().parse_args(
+        ["--multiprompts", "p1", "p2", "3,4"])
+    assert args.multiprompts == ["p1", "p2", "3,4"]
+
+
+def test_pipeline_full_rerun_determinism(tiny_pipe):
+    """Same seed, fresh run (no latent cache) → bit-identical frames: no
+    hidden global RNG anywhere in the pipeline (docs/RNG.md contract)."""
+    h, w = HEIGHT // 8, WIDTH // 8
+    cond = np.full((h, w, 4), 0.2, np.float32)
+    runs = []
+    for _ in range(2):
+        frames = tiny_pipe("a mouse", jax.random.PRNGKey(7),
+                           cond_image=cond, conditioned_prompt="a cat",
+                           gamma=0.5, height=HEIGHT, width=WIDTH)
+        runs.append(np.stack(frames))
+    np.testing.assert_array_equal(runs[0], runs[1])
