@@ -166,6 +166,14 @@ def bench_fifo() -> dict:
         peak = _peak_flops(jax.devices()[0])
         out["fifo_iteration_tflops"] = round(flops / 1e12, 1)
         out["mfu_pct"] = round(100.0 * flops / (sec_per_frame * peak), 1)
+    try:
+        # absent through the axon tunnel device; populated on
+        # directly-attached TPUs
+        stats = jax.devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            out["hbm_peak_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:
+        pass
     return out
 
 
