@@ -81,3 +81,64 @@ def test_v2i_extracts_frames(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     pngs = sorted(os.listdir(outdir))
     assert pngs == ["00000.png", "00001.png", "00002.png"]
+
+
+def test_generate_condition_images(tmp_path, monkeypatch):
+    """TPU-native stand-in for scripts/prep/generate_condition_images.py
+    (the reference shells out to diffusers SD2.1): missing conditioned
+    images are sampled from the in-house T2V stack as single frames."""
+    import jax
+
+    from moca_tpu.config import ModelConfig, DiffusionParams
+    import moca_tpu.config as config_mod
+    import moca_tpu.io.checkpoint as ckpt_mod
+    import moca_tpu.models.tokenizer as tok_mod
+    from moca_tpu.models.clip_text import CLIPTextConfig
+    from moca_tpu.models.latent_diffusion import init_random_model
+    from moca_tpu.models.tokenizer import HashTokenizer
+    from moca_tpu.models.unet3d import UNetConfig
+    from moca_tpu.models.vae import VAEConfig
+
+    unet_cfg = UNetConfig(
+        model_channels=32, num_head_channels=8, context_dim=16,
+        channel_mult=(1, 2), attention_resolutions=(1, 2),
+        num_res_blocks=1, temporal_length=4)
+    vae_cfg = VAEConfig(ch=16, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                        resolution=32)
+    clip_cfg = CLIPTextConfig(width=16, heads=2, layers=2, vocab_size=49408)
+    model = init_random_model(unet_cfg, vae_cfg, clip_cfg,
+                              jax.random.PRNGKey(0), latent_hw=(4, 4),
+                              frames=4)
+    cfg = ModelConfig(diffusion=DiffusionParams(), unet=unet_cfg,
+                      vae=vae_cfg, clip=clip_cfg)
+    monkeypatch.setattr(config_mod, "load_model_config", lambda *a, **k: cfg)
+    monkeypatch.setattr(
+        ckpt_mod, "load_or_convert",
+        lambda *a, **k: (model.unet_params, model.vae_params,
+                         model.clip_params))
+    monkeypatch.setattr(tok_mod, "load_tokenizer",
+                        lambda *a: HashTokenizer())
+
+    out_img = tmp_path / "assets" / "gen_cat.png"
+    csv = tmp_path / "prompts.csv"
+    csv.write_text(
+        "prompt,conditioned_object,conditioned_image_path,"
+        "conditioned_prompt,gamma\n"
+        f"a red fox,cat,{out_img},a cat,0.4\n")
+    gen = _load("generate_condition_images")
+    monkeypatch.setattr(sys, "argv", [
+        "generate_condition_images.py", "--ckpt_path", "/x.ckpt",
+        "--prompts_file", str(csv), "--assets_dir",
+        str(tmp_path / "assets"), "--height", "32", "--width", "32",
+        "--num_steps", "2"])
+    gen.main()
+    assert out_img.exists()
+    from PIL import Image
+
+    img = Image.open(out_img)
+    assert img.mode == "RGBA" and img.size == (32, 32)
+
+    # second run: everything present → early exit, file untouched
+    mtime = out_img.stat().st_mtime_ns
+    gen.main()
+    assert out_img.stat().st_mtime_ns == mtime
