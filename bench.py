@@ -177,6 +177,71 @@ def bench_fifo() -> dict:
     return out
 
 
+def bench_fifo_seg() -> dict:
+    """The open-vocab product variant of the FIFO step: queue masks +
+    concept injection active AND with_pred_x0=True — the pre-injection
+    pred_x0 of the t≤300 queue slots is returned and transferred to host
+    every iteration (what feeds the mask provider,
+    pipelines/moca_video.py:_pull_masks), and the provider's refreshed mask
+    queue is re-uploaded. Compiles a different HLO than bench_fifo
+    (pred-x0 scatter, mask gather/injection); this measures its cost as a
+    driver-visible number instead of an inference from tpu_smoke."""
+    from moca_tpu.sampling.ddim import make_cfg_eps_fn
+    from moca_tpu.sampling.fifo import fifo_step, make_fifo_plan, shift_queue
+    from moca_tpu.sampling.moca import MoCAConfig
+    from moca_tpu.schedule import make_schedule
+
+    unet, vae, ucfg, uparams, vparams, ctx = _flagship_models()
+    f, n = 16, 4
+    sch = make_schedule(ddim_num_steps=f * n, ddim_eta=1.0)
+    plan = make_fifo_plan(np.asarray(sch.ddim_timesteps), f, n, True)
+    uc = jnp.zeros_like(ctx)
+    cond_image = jnp.full((H, W, 4), 0.2)
+    moca = MoCAConfig()
+    k_low = int(np.sum(plan.timesteps <= moca.inject_threshold))
+
+    def unet_apply(p, xx, tt, cc, fps=16):
+        return unet.apply(p, xx, tt, cc, fps=fps)
+
+    @jax.jit
+    def iteration(params, latents, masks, key):
+        eps_fn = make_cfg_eps_fn(unet_apply, params, ctx, uc, 12.0)
+        k1, k2 = jax.random.split(key)
+        new_latents, head, pred = fifo_step(
+            eps_fn, sch, plan, moca, latents, k1,
+            cond_image=cond_image, masks=masks, masks_are_davis=False,
+            with_pred_x0=True)
+        return shift_queue(new_latents, k2), head, pred[:, :k_low]
+
+    latents = jax.random.normal(
+        jax.random.PRNGKey(3), (1, plan.queue_length, H, W, 4))
+    masks = (jax.random.uniform(
+        jax.random.PRNGKey(6), (1, plan.queue_length, H, W, 1)) > 0.5
+    ).astype(jnp.float32)
+    n_runs = int(os.environ.get("BENCH_RUNS", "4"))
+    t0 = time.perf_counter()
+    latents, head, pred = iteration(uparams, latents, masks,
+                                    jax.random.PRNGKey(4))
+    jax.block_until_ready((latents, head, pred))
+    compile_s = time.perf_counter() - t0
+    mask_np = np.asarray(masks)
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        latents, head, pred = iteration(uparams, latents, masks,
+                                        jax.random.PRNGKey(7 + i))
+        # host round trip the product pipeline pays per iteration: pred_x0
+        # slots down (provider input), refreshed mask queue up
+        _ = np.asarray(pred)
+        masks = jnp.asarray(mask_np)
+    jax.block_until_ready(head)
+    sec_per_frame = (time.perf_counter() - t0) / n_runs
+    return {
+        "fifo_seg_sec_per_frame": round(sec_per_frame, 3),
+        "fifo_seg_pred_slots": k_low,
+        "fifo_seg_compile_s": round(compile_s, 1),
+    }
+
+
 def bench_t2v() -> dict:
     from moca_tpu.sampling.ddim import ddim_sample, make_cfg_eps_fn
     from moca_tpu.schedule import make_schedule
@@ -240,8 +305,18 @@ def main():
         }
     elif mode == "fifo":
         result = bench_fifo()
+    elif mode == "fifo_seg":
+        result = bench_fifo_seg()
+        result.update({"metric": "sec per output frame, open-vocab FIFO "
+                                 "variant (masks+injection+pred_x0)",
+                       "value": result["fifo_seg_sec_per_frame"],
+                       "unit": "s"})
     else:
         result = bench_fifo()
+        result.update(bench_fifo_seg())
+        result["fifo_seg_overhead_pct"] = round(
+            100.0 * (result["fifo_seg_sec_per_frame"] / result["value"] - 1.0),
+            1)
         result.update(bench_t2v())
     print(json.dumps(result))
 

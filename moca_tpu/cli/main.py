@@ -103,11 +103,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="queue-tail refill on shift: freeinit = LPF anchor+"
                         "noise mix (funcs.py:86-99), plain = fresh noise "
                         "(the funcs_mp.py:39-46 multiprocess variant)")
+    p.add_argument("--mesh", type=str, default=None, metavar="DP,FIFO",
+                   help="shard the FIFO window batch + head decode over a "
+                        "(dp, fifo) device mesh, e.g. '1,8' on a v5e-8 — "
+                        "the product multi-chip path (the reference forks "
+                        "one process per GPU instead, funcs_mp.py:161-254)")
     p.add_argument("--checkpoint_every", type=int, default=0,
                    help="mid-FIFO fault tolerance: snapshot the queue every "
                         "N output frames; a killed run resumes bit-exactly "
                         "(feature absent in the reference)")
     return p
+
+
+def parse_mesh(args):
+    """--mesh 'DP,FIFO' → jax.sharding.Mesh (or None single-chip)."""
+    if not getattr(args, "mesh", None):
+        return None
+    from moca_tpu.parallel.mesh import make_mesh
+    dp, fifo = (int(v) for v in args.mesh.split(","))
+    return make_mesh((dp, fifo))
 
 
 def load_pipeline(args) -> MoCAVideoPipeline:
@@ -135,7 +149,7 @@ def load_pipeline(args) -> MoCAVideoPipeline:
         moca=moca, use_scale=cfg.diffusion.use_scale,
         checkpoint_every=args.checkpoint_every,
         tail_mode=getattr(args, "tail_mode", "freeinit"),
-        uncond_type=cfg.diffusion.uncond_type)
+        uncond_type=cfg.diffusion.uncond_type, mesh=parse_mesh(args))
 
 
 def set_directory(args, prompt: str, conditioned_image_path: str):

@@ -101,8 +101,16 @@ def _vae_from_yaml(p: Dict[str, Any], dtype) -> VAEConfig:
 
 
 def _clip_from_yaml(p: Dict[str, Any], dtype) -> CLIPTextConfig:
+    """Reference YAMLs carry only `layer` (FrozenOpenCLIPEmbedder kwargs,
+    condition.py:184); the tower size keys below are moca_tpu extensions so
+    shrunk test configs can drive the full checkpoint-load path — absent
+    from reference files, so defaults (ViT-H) always apply there."""
     layer = p.get("layer", "last")
-    return CLIPTextConfig(penultimate=(layer == "penultimate"), dtype=dtype)
+    return CLIPTextConfig(
+        penultimate=(layer == "penultimate"),
+        width=p.get("width", 1024), heads=p.get("heads", 16),
+        layers=p.get("layers", 24), vocab_size=p.get("vocab_size", 49408),
+        context_length=p.get("context_length", 77), dtype=dtype)
 
 
 def load_model_config(path: str, dtype: Optional[str] = None) -> ModelConfig:

@@ -168,7 +168,14 @@ class MoCAVideoPipeline:
 
         The reference decodes ONE frame per FIFO iteration
         (funcs.py:358-360); batching K decodes into one VAE call keeps the
-        MXU busy and amortizes dispatch latency."""
+        MXU busy and amortizes dispatch latency. Under a mesh the head batch
+        is sharded over all devices (one frame per chip at the default
+        decode_batch=8 on a v5e-8), mirroring funcs_mp.py's per-rank
+        decode (funcs_mp.py:221-236) without the process fan-out."""
+        if self.mesh is not None and heads.shape[0] % self.mesh.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            s = NamedSharding(self.mesh, P(("dp", "fifo")))
+            heads = jax.lax.with_sharding_constraint(heads, s)
         return jnp.clip(
             self.model.decode_single(heads, params=vae_params), -1.0, 1.0)
 
@@ -312,7 +319,8 @@ class MoCAVideoPipeline:
         j = 0
         pending_heads: List = []
 
-        # --- mid-FIFO resume (snapshot = queue + masks + emitted frames) ---
+        # --- mid-FIFO resume (snapshot = queue + masks + emitted frames +
+        # open-vocab provider state) ---
         ckpt_path = (os.path.join(latents_dir, "fifo_state.npz")
                      if latents_dir and self.checkpoint_every else None)
         start_i = 0
@@ -324,6 +332,16 @@ class MoCAVideoPipeline:
                 mask_queue = jnp.asarray(snap["mask_queue"])
             frames_out = [f for f in snap["frames"]]
             j = int(snap["j"])
+            if seg_mode:
+                # restore the temporal-consistency chain: the per-frame
+                # counter (PrecomputedMaskProvider indexing) and the
+                # provider's previous mask (the IoU/empty-detection gates
+                # of ddim.py:788-807 compare against it)
+                seg_frame_counter = (int(snap["seg_frame_counter"])
+                                     if "seg_frame_counter" in snap else 0)
+                if "seg_prev_mask" in snap and hasattr(
+                        mask_provider, "prev_mask"):
+                    mask_provider.prev_mask = snap["seg_prev_mask"]
 
         def checkpoint(i):
             if not ckpt_path:
@@ -334,6 +352,11 @@ class MoCAVideoPipeline:
                            else np.zeros((0,), np.float32))
             if mask_queue is not None:
                 payload["mask_queue"] = np.asarray(mask_queue)
+            if seg_mode:
+                payload["seg_frame_counter"] = seg_frame_counter
+                prev = getattr(mask_provider, "prev_mask", None)
+                if prev is not None:
+                    payload["seg_prev_mask"] = np.asarray(prev)
             np.savez(ckpt_path + ".tmp.npz", **payload)
             os.replace(ckpt_path + ".tmp.npz", ckpt_path)
 

@@ -152,10 +152,20 @@ def main():
         entries.append({"prompt": row["prompt"], "video_path": video_path})
 
     write_full_info(args.out_dir, entries)
+    if cass_fns is not None:
+        # no CASS reference code exists to calibrate against (DECISIONS #11)
+        # — keep the caveat attached to the numbers themselves
+        metrics["_cass_convention"] = (
+            "CASS/relCASS follow moca_tpu's own x100 convention "
+            "(eval/metrics.py); NOT directly comparable to the paper's "
+            "published 4.93/1.23 — the paper ships no metric code")
     with open(os.path.join(args.out_dir, f"metrics_rank{args.rank}.json"),
               "w") as f:
         json.dump(metrics, f, indent=1)
-    print(json.dumps({"videos": len(entries)}))
+    summary = {"videos": len(entries)}
+    if cass_fns is not None:
+        summary["cass_convention"] = metrics["_cass_convention"]
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

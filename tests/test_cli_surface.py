@@ -63,6 +63,21 @@ def test_no_negations_disable_store_true_defaults():
         True, True, True)
 
 
+def test_positive_flags_explicitly():
+    """The registration ORDER of the duplicate declarations is load-bearing
+    (--save_frames registered before --no_save_frames shares the dest):
+    passing the positive reference spellings must keep/force True, and a
+    positive flag must override a preceding negation."""
+    args = build_parser().parse_args(["--save_frames", "--use_mp4", "-ld"])
+    assert (args.save_frames, args.use_mp4, args.lookahead_denoising) == (
+        True, True, True)
+    args = build_parser().parse_args(
+        ["--no_use_mp4", "--use_mp4", "--no_save_frames", "--save_frames",
+         "--no_lookahead_denoising", "--lookahead_denoising"])
+    assert (args.save_frames, args.use_mp4, args.lookahead_denoising) == (
+        True, True, True)
+
+
 def test_tail_mode_flag():
     assert build_parser().parse_args([]).tail_mode == "freeinit"
     assert build_parser().parse_args(

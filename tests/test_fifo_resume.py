@@ -33,6 +33,53 @@ def _pipe(tiny_model, **kw):
         new_video_length=4, guidance_scale=7.5, **kw)
 
 
+def test_resume_seg_mode_reproduces_uninterrupted_run(tiny_model, tmp_path):
+    """Open-vocab (mask_provider) kill + resume: the snapshot must carry the
+    seg_frame_counter AND the provider's prev_mask — without them the
+    temporal-consistency chain (IoU/empty gates vs ddim.py:788-807) and
+    PrecomputedMaskProvider indexing silently reset on resume."""
+    from moca_tpu.io.segmentation import CallbackMaskProvider
+
+    cond = np.full((H // 8, W // 8, 4), 0.3, np.float32)
+    key = jax.random.PRNGKey(11)
+
+    def make_provider():
+        def seg(frame, target):
+            # stateless fake detector (real ones are per-frame too):
+            # content-keyed empty detections exercise the prev_mask gate
+            if int(frame.sum()) % 2 == 1:
+                return None
+            return (frame[:, :, 0] > frame[:, :, 0].mean()).astype(np.float32)
+        return CallbackMaskProvider(seg)
+
+    kw = dict(cond_image=cond, gamma=0.5, height=H, width=W, target="cat")
+    full = _pipe(tiny_model)(
+        "a mouse", key, latents_dir=str(tmp_path / "ref"),
+        mask_provider=make_provider(), **kw)
+
+    class Kill(Exception):
+        pass
+
+    def killer(i, frame):
+        if i == 2:
+            raise Kill
+
+    run_dir = tmp_path / "resume"
+    pipe = _pipe(tiny_model, checkpoint_every=2, decode_batch=1)
+    provider = make_provider()
+    with pytest.raises(Kill):
+        pipe("a mouse", key, latents_dir=str(run_dir),
+             frame_callback=killer, mask_provider=provider, **kw)
+    snap = np.load(run_dir / "fifo_state.npz")
+    assert "seg_frame_counter" in snap and "seg_prev_mask" in snap
+
+    # resume with a FRESH provider (new process): state comes from the snap
+    resumed = pipe("a mouse", key, latents_dir=str(run_dir),
+                   mask_provider=make_provider(), **kw)
+    assert len(resumed) == len(full)
+    np.testing.assert_allclose(np.stack(resumed), np.stack(full), atol=1e-5)
+
+
 def test_resume_reproduces_uninterrupted_run(tiny_model, tmp_path):
     cond = np.full((H // 8, W // 8, 4), 0.2, np.float32)
     key = jax.random.PRNGKey(7)

@@ -1,0 +1,204 @@
+"""Product multi-chip path: `MoCAVideoPipeline(mesh=…)` end to end on the
+8-virtual-device CPU mesh.
+
+What the reference ships as its product multi-GPU path — one process per
+GPU with torch.multiprocessing queues (ref: scripts/evaluation/
+funcs_mp.py:161-254) — is here the SAME pipeline object with a
+`jax.sharding.Mesh`: the FIFO window batch and the head-decode batch are
+sharded over the mesh inside the jitted step. These tests pin down that
+
+  * the full `__call__` (base sample → FIFO → open-vocab provider →
+    batched decode → mid-FIFO resume) is numerically identical to the
+    unsharded pipeline, and
+  * the compiled HLO actually shards the window batch per device — no
+    silent full replication.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from moca_tpu.models.clip_text import CLIPTextConfig
+from moca_tpu.models.latent_diffusion import init_random_model
+from moca_tpu.models.tokenizer import HashTokenizer
+from moca_tpu.models.unet3d import UNetConfig
+from moca_tpu.models.vae import VAEConfig
+from moca_tpu.parallel.mesh import make_mesh
+from moca_tpu.pipelines.moca_video import MoCAVideoPipeline
+
+HEIGHT = WIDTH = 32  # latent 4×4
+F, N = 4, 2
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    unet_cfg = UNetConfig(
+        model_channels=32, num_head_channels=8, context_dim=16,
+        channel_mult=(1, 2), attention_resolutions=(1, 2),
+        num_res_blocks=1, temporal_length=F)
+    vae_cfg = VAEConfig(ch=16, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                        resolution=HEIGHT)
+    clip_cfg = CLIPTextConfig(width=16, heads=2, layers=2, vocab_size=49408)
+    return init_random_model(
+        unet_cfg, vae_cfg, clip_cfg, jax.random.PRNGKey(0),
+        latent_hw=(HEIGHT // 8, WIDTH // 8), frames=F)
+
+
+def _pipe(model, mesh=None, **kw):
+    kw.setdefault("new_video_length", 3)
+    return MoCAVideoPipeline(
+        model, HashTokenizer(), video_length=F, num_partitions=N,
+        guidance_scale=7.5, mesh=mesh, **kw)
+
+
+def test_mesh_pipeline_matches_unsharded(tiny_model, tmp_path):
+    """Full prompt-mode __call__ (cond image + concept prompt + injection)
+    under a (1, 8) mesh ≡ single-device, base sampling included (separate
+    latent dirs — the sharded run computes its own base latents)."""
+    h, w = HEIGHT // 8, WIDTH // 8
+    cond = np.full((h, w, 4), 0.2, np.float32)
+    key = jax.random.PRNGKey(7)
+    kw = dict(cond_image=cond, conditioned_prompt="a cat", gamma=0.5,
+              height=HEIGHT, width=WIDTH)
+
+    plain = _pipe(tiny_model)(
+        "a mouse", key, latents_dir=str(tmp_path / "plain"), **kw)
+    sharded = _pipe(tiny_model, mesh=make_mesh((1, 8)))(
+        "a mouse", key, latents_dir=str(tmp_path / "mesh"), **kw)
+
+    assert len(sharded) == len(plain)
+    np.testing.assert_allclose(
+        np.stack(sharded), np.stack(plain), atol=2e-4)
+
+
+def test_mesh_pipeline_dp_axis(tiny_model):
+    """A (2, 4) mesh (dp > 1) also reproduces the single-device run."""
+    plain = _pipe(tiny_model)("a bird", jax.random.PRNGKey(3),
+                              height=HEIGHT, width=WIDTH)
+    sharded = _pipe(tiny_model, mesh=make_mesh((2, 4)))(
+        "a bird", jax.random.PRNGKey(3), height=HEIGHT, width=WIDTH)
+    np.testing.assert_allclose(
+        np.stack(sharded), np.stack(plain), atol=2e-4)
+
+
+def test_mesh_pipeline_seg_provider(tiny_model):
+    """Open-vocab mode: host mask provider + pred_x0 transfer + injection,
+    sharded ≡ unsharded — including the mask stream the provider saw."""
+    from moca_tpu.io.segmentation import CallbackMaskProvider
+
+    h, w = HEIGHT // 8, WIDTH // 8
+    cond = np.full((h, w, 4), 0.3, np.float32)
+
+    def make_provider(log):
+        def seg(frame, target):
+            # deterministic fake detector keyed on frame content
+            m = (frame[:, :, 0] > frame[:, :, 0].mean()).astype(np.float32)
+            log.append(m.copy())
+            return m
+        return CallbackMaskProvider(seg)
+
+    runs = {}
+    for name, mesh in [("plain", None), ("mesh", make_mesh((1, 8)))]:
+        log = []
+        frames = _pipe(tiny_model, mesh=mesh)(
+            "a mouse", jax.random.PRNGKey(5), cond_image=cond, gamma=0.5,
+            height=HEIGHT, width=WIDTH,
+            mask_provider=make_provider(log), target="mouse")
+        runs[name] = (np.stack(frames), log)
+
+    plain_frames, plain_log = runs["plain"]
+    mesh_frames, mesh_log = runs["mesh"]
+    assert len(mesh_log) == len(plain_log)
+    np.testing.assert_allclose(mesh_frames, plain_frames, atol=2e-4)
+
+
+def test_mesh_pipeline_resume(tiny_model, tmp_path):
+    """Mid-FIFO kill + resume under the mesh reproduces the uninterrupted
+    mesh run (snapshot round-trips sharded device arrays through npz)."""
+    mesh = make_mesh((1, 8))
+    key = jax.random.PRNGKey(9)
+    full = _pipe(tiny_model, mesh=mesh, new_video_length=4)(
+        "a mouse", key, height=HEIGHT, width=WIDTH,
+        latents_dir=str(tmp_path / "ref"))
+
+    class Kill(Exception):
+        pass
+
+    def killer(i, frame):
+        if i == 2:
+            raise Kill
+
+    run_dir = tmp_path / "resume"
+    pipe = _pipe(tiny_model, mesh=mesh, new_video_length=4,
+                 checkpoint_every=2, decode_batch=1)
+    with pytest.raises(Kill):
+        pipe("a mouse", key, height=HEIGHT, width=WIDTH,
+             latents_dir=str(run_dir), frame_callback=killer)
+    assert (run_dir / "fifo_state.npz").exists()
+    resumed = pipe("a mouse", key, height=HEIGHT, width=WIDTH,
+                   latents_dir=str(run_dir))
+    assert len(resumed) == len(full)
+    np.testing.assert_allclose(np.stack(resumed), np.stack(full), atol=1e-4)
+
+
+def test_fifo_iteration_hlo_shards_window_batch(tiny_model):
+    """The compiled HLO of the pipeline's jitted FIFO iteration must show
+    the per-device window-batch shape — R·B·2 CFG rows split across the 8
+    mesh devices, not replicated. (R = 2n = 4 windows, B = 1, ×2 CFG → 8
+    rows → 1 row of shape [1, f, h, w, C] per device.)"""
+    mesh = make_mesh((1, 8))
+    pipe = _pipe(tiny_model, mesh=mesh)
+    h, w = HEIGHT // 8, WIDTH // 8
+    latents = jnp.zeros((1, pipe.plan.queue_length, h, w, 4))
+    ctx = jnp.zeros((1, 77, 16))
+    uc = jnp.zeros_like(ctx)
+    lowered = type(pipe)._fifo_iteration.lower(
+        pipe, pipe.model.unet_params, latents, (ctx, uc), None, None,
+        None, jax.random.PRNGKey(0), False, False)
+    txt = lowered.compile().as_text()
+    # full (replicated) flat batch would be [8,4,4,4,4]; sharded is [1,...]
+    assert "f32[1,4,4,4,4]" in txt, "window batch not sharded per device"
+
+
+def test_cli_mesh_flag_e2e(tiny_model, monkeypatch, tmp_path):
+    """--mesh 1,8 from the CLI reaches the pipeline and the run completes
+    (the product path a v5e-8 user invokes)."""
+    from PIL import Image
+    import moca_tpu.cli.main as cli_main
+
+    def fake_load(args):
+        mesh = cli_main.parse_mesh(args)
+        assert mesh is not None and mesh.size == 8
+        return _pipe(tiny_model, mesh=mesh, new_video_length=2)
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(cli_main, "load_pipeline", fake_load)
+    cond = tmp_path / "cat.png"
+    Image.fromarray(np.full((16, 16, 4), 128, np.uint8), "RGBA").save(cond)
+    csv = tmp_path / "prompts.csv"
+    csv.write_text(
+        "prompt,conditioned_object,conditioned_image_path,"
+        "conditioned_prompt,gamma\n"
+        f"a red fox,cat,{cond},a cat,0.4\n")
+    out_root = tmp_path / "out"
+    args = cli_main.build_parser().parse_args([
+        "--height", str(HEIGHT), "--width", str(WIDTH),
+        "--video_length", str(F), "-n", str(N), "-l", "2",
+        "--prompt_file", str(csv), "--output_dir", str(out_root),
+        "--mesh", "1,8", "--no_save_frames"])
+    cli_main.main(args)
+    assert (out_root / "cat" / "a red fox.mp4").exists()
+
+
+def test_parse_mesh():
+    import moca_tpu.cli.main as cli_main
+
+    args = cli_main.build_parser().parse_args([])
+    assert cli_main.parse_mesh(args) is None
+    args = cli_main.build_parser().parse_args(["--mesh", "2,4"])
+    mesh = cli_main.parse_mesh(args)
+    assert mesh.shape == {"dp": 2, "fifo": 4}

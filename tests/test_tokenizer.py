@@ -79,3 +79,25 @@ def test_hash_tokenizer_deterministic():
     a = HashTokenizer()(["a cat"])
     b = HashTokenizer()(["a cat"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_known_clip_token_ids():
+    """Published CLIP BPE tokenizations (openai/CLIP SimpleTokenizer with
+    the real bpe_simple_vocab_16e6.txt.gz — widely reproduced ids for the
+    README zero-shot prompts). The vocab file isn't in this image, so this
+    runs only where MOCA_TPU_BPE_PATH points at the real table; it exists
+    so the independent BPE implementation is pinned to ground truth the
+    moment real weights/vocab land."""
+    import os
+
+    path = os.environ.get("MOCA_TPU_BPE_PATH")
+    if not path or not os.path.exists(path):
+        pytest.skip("real CLIP BPE vocab not on disk (MOCA_TPU_BPE_PATH)")
+    tok = SimpleTokenizer(path)
+    assert (tok.sot, tok.eot) == (49406, 49407)
+    assert tok.encode("a diagram") == [320, 22697]
+    assert tok.encode("a dog") == [320, 1929]
+    assert tok.encode("a cat") == [320, 2368]
+    assert tok.encode("a photo of a cat") == [320, 1125, 539, 320, 2368]
+    framed = tok(["a diagram"])
+    assert framed[0, :4].tolist() == [49406, 320, 22697, 49407]
