@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from moca_tpu.xla_opts import tuned_jit
+
 # Persistent compilation cache: first-ever compile of the 1.4B U-Net is
 # minutes on this host; subsequent bench runs (incl. the driver's) hit the
 # cache and only pay execution time.
@@ -89,11 +91,27 @@ def _flagship_models():
     return unet, vae, ucfg, uparams, vparams, ctx
 
 
+def _maybe_compile_with_opts(jitted, *args):
+    """BENCH_XLA_OPTS="k=v;k=v" → compile with explicit XLA options.
+
+    XLA_FLAGS can't carry TPU flags here (the local CPU XLA parses and
+    rejects them; compilation happens on the remote axon service), but
+    per-compile `compiler_options` DO pass through — this is the flag-sweep
+    hook the perf notes use."""
+    opts = os.environ.get("BENCH_XLA_OPTS")
+    if not opts:
+        return jitted
+    kv = dict(p.split("=", 1) for p in opts.split(";") if p)
+    return jitted.lower(*args).compile(compiler_options=kv)
+
+
 def _hlo_flops(jitted, *args) -> float:
     """Total flops of the compiled program (0 when the backend doesn't
     expose cost analysis, e.g. some remote-compile paths)."""
     try:
-        cost = jitted.lower(*args).compile().cost_analysis()
+        if hasattr(jitted, "lower"):
+            jitted = jitted.lower(*args).compile()
+        cost = jitted.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         return float(cost.get("flops", 0.0))
@@ -120,7 +138,7 @@ def bench_fifo() -> dict:
     def unet_apply(p, xx, tt, cc, fps=16):
         return unet.apply(p, xx, tt, cc, fps=fps)
 
-    @jax.jit
+    @tuned_jit
     def iteration(params, latents, key):
         eps_fn = make_cfg_eps_fn(unet_apply, params, ctx, uc, 12.0)
         k1, k2 = jax.random.split(key)
@@ -129,13 +147,15 @@ def bench_fifo() -> dict:
             cond_image=cond_image)
         return shift_queue(new_latents, k2), head
 
-    @jax.jit
+    @tuned_jit
     def decode(params, heads):
         return vae.apply(params, heads, method=vae.decode)
 
     latents = jax.random.normal(
         jax.random.PRNGKey(3), (1, plan.queue_length, H, W, 4))
     n_runs = int(os.environ.get("BENCH_RUNS", "4"))
+    iteration = _maybe_compile_with_opts(
+        iteration, uparams, latents, jax.random.PRNGKey(4))
     t0 = time.perf_counter()
     latents, head = iteration(uparams, latents, jax.random.PRNGKey(4))
     # warm the decode at the BATCHED shape the timed loop uses — otherwise
@@ -203,7 +223,7 @@ def bench_fifo_seg() -> dict:
     def unet_apply(p, xx, tt, cc, fps=16):
         return unet.apply(p, xx, tt, cc, fps=fps)
 
-    @jax.jit
+    @tuned_jit
     def iteration(params, latents, masks, key):
         eps_fn = make_cfg_eps_fn(unet_apply, params, ctx, uc, 12.0)
         k1, k2 = jax.random.split(key)
@@ -256,13 +276,13 @@ def bench_t2v() -> dict:
     # NOTE: params are explicit jit arguments — closed-over weight trees
     # would be baked into the HLO as constants (GBs shipped to the remote
     # compiler under axon).
-    @jax.jit
+    @tuned_jit
     def sample(params, key):
         eps_fn = make_cfg_eps_fn(unet_apply, params, ctx, uc, 12.0)
         latents, _ = ddim_sample(eps_fn, sch, (1, FRAMES, H, W, 4), key)
         return latents
 
-    @jax.jit
+    @tuned_jit
     def decode(params, latents):
         flat = latents.reshape((FRAMES, H, W, 4))
         return vae.apply(params, flat, method=vae.decode)

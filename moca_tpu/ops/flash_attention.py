@@ -33,7 +33,8 @@ def _pick_block(size: int, candidates=(512, 256, 128, 64, 32, 16, 8)) -> int:
     return size
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nkv):
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale,
+               nkv, stat_lanes=_LANES):
     j = pl.program_id(3)
 
     @pl.when(j == 0)
@@ -68,8 +69,13 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nkv)
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+    if stat_lanes == 1:
+        # [bq, 1] masked stores — skips the [bq, 128] broadcast writes
+        m_ref[:] = m_new
+        l_ref[:] = l_new
+    else:
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(j == nkv - 1)
     def _finalize():
@@ -232,13 +238,27 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
+    stat_lanes = (1 if os.environ.get("MOCA_TPU_FA_NARROWSTAT", "0") == "1"
+                  else _LANES)
     grid = (b, h, nq, nkv)
-    kernel = functools.partial(_fa_kernel, scale=scale, nkv=nkv)
+    kernel = functools.partial(_fa_kernel, scale=scale, nkv=nkv,
+                               stat_lanes=stat_lanes)
+
+    # only the kv axis carries state (online softmax); declaring the rest
+    # parallel lets Mosaic pipeline across programs (perf sweep knobs)
+    cp_kwargs = {}
+    if os.environ.get("MOCA_TPU_FA_DIMSEM", "1") == "1":
+        cp_kwargs["dimension_semantics"] = (
+            "parallel", "parallel", "parallel", "arbitrary")
+    if os.environ.get("MOCA_TPU_FA_INFUSE", "0") == "1":
+        cp_kwargs["allow_input_fusion"] = [True, True, True]
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         grid=grid,
+        compiler_params=pltpu.CompilerParams(**cp_kwargs) if cp_kwargs
+        else None,
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
             pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
@@ -246,8 +266,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((bq, _LANES), jnp.float32),  # running max
-            pltpu.VMEM((bq, _LANES), jnp.float32),  # running denom
+            pltpu.VMEM((bq, stat_lanes), jnp.float32),  # running max
+            pltpu.VMEM((bq, stat_lanes), jnp.float32),  # running denom
             pltpu.VMEM((bq, d), jnp.float32),  # output accumulator
         ],
         cost_estimate=pl.CostEstimate(

@@ -40,6 +40,7 @@ from moca_tpu.sampling.fifo import (
 from moca_tpu.sampling.moca import MoCAConfig
 from moca_tpu.pipelines.t2v import T2VPipeline
 from moca_tpu.schedule import make_schedule
+from moca_tpu.xla_opts import tuned_jit
 
 
 @dataclasses.dataclass(eq=False)
@@ -86,7 +87,7 @@ class MoCAVideoPipeline:
     # ------------------------------------------------------------------
     # jitted step: all FIFO windows + MoCA + shift in one compiled graph
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 8, 9), donate_argnums=(2,))
+    @functools.partial(tuned_jit, static_argnums=(0, 8, 9), donate_argnums=(2,))
     def _fifo_iteration(self, unet_params, latents, contexts, cond_image,
                         masks, gamma, key, masks_are_davis, want_pred=False,
                         anchor=None):
@@ -162,7 +163,7 @@ class MoCAVideoPipeline:
                 new_masks[0, j - 1, :, :, 0] = np.asarray(m, np.float32)
         return jnp.asarray(new_masks), counter
 
-    @functools.partial(jax.jit, static_argnums=(0,))
+    @functools.partial(tuned_jit, static_argnums=(0,))
     def _decode_heads(self, vae_params, heads):
         """[K, h, w, 4] stacked head latents → [K, H, W, 3] frames.
 

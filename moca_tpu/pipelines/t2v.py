@@ -20,6 +20,7 @@ from moca_tpu import freeinit
 from moca_tpu.models.latent_diffusion import LatentDiffusion
 from moca_tpu.sampling.ddim import ddim_sample, make_cfg_eps_fn
 from moca_tpu.schedule import DiffusionSchedule, make_schedule
+from moca_tpu.xla_opts import tuned_jit
 
 
 @dataclasses.dataclass(eq=False)  # eq=False: hashable by id for jit statics
@@ -47,7 +48,7 @@ class T2VPipeline:
                    uncond_type=uncond_type)
 
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0,))
+    @functools.partial(tuned_jit, static_argnums=(0,))
     def _encode_tokens(self, clip_params, tokens):
         return self.model.encode_tokens(tokens, params=clip_params)
 
@@ -71,7 +72,7 @@ class T2VPipeline:
         return self.encode_prompts([""] * batch)
 
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 4))
+    @functools.partial(tuned_jit, static_argnums=(0, 4))
     def _sample_latents(self, params, contexts, key, shape):
         # params is an explicit argument: closing over the 1.4B weight tree
         # would embed it in the HLO (fatal for axon's remote compiler).
@@ -97,7 +98,7 @@ class T2VPipeline:
         return self._sample_latents(self.model.unet_params, (ctx, uc), key,
                                     shape)
 
-    @functools.partial(jax.jit, static_argnums=(0,))
+    @functools.partial(tuned_jit, static_argnums=(0,))
     def _decode(self, vae_params, latents):
         return jnp.clip(
             self.model.decode_latents(latents, params=vae_params), -1.0, 1.0)
@@ -112,7 +113,7 @@ class T2VPipeline:
         return self._sample_latents(
             self.model.unet_params, (ctx, uc), key, (1, frames, h, w, c))
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
+    @functools.partial(tuned_jit, static_argnums=(0, 4))
     def _sample_latents_ddpm(self, params, contexts, key, shape):
         """Ancestral DDPM sampling (the reference's ddim_steps≤0 path,
         inference.py:28)."""
@@ -189,7 +190,7 @@ class T2VPipeline:
         return self._decode(self.model.vae_params, latents)[0]
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(tuned_jit, static_argnums=(0,))
 def _ddim_from_xt_jit(pipe: T2VPipeline, params, contexts, x_T, key):
     ctx, uc = contexts
     eps_fn = make_cfg_eps_fn(
