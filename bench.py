@@ -310,8 +310,44 @@ def bench_t2v() -> dict:
     }
 
 
+def _probe_backend(timeout_s: float = 240.0) -> bool:
+    """True iff the TPU backend answers within `timeout_s`.
+
+    The axon tunnel (the one real chip) goes down for hours at a time, and
+    `jax.devices()` then HANGS indefinitely — which would make the driver's
+    bench run hang instead of recording an honest failure. Probe from a
+    subprocess so the hang is bounded."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "all")
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "sec per output frame, full MoCA FIFO iteration "
+                      "(f=16 n=4 lookahead, bf16, 1 chip)",
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+            "error": "TPU backend unreachable (probe timed out) — the axon "
+                     "tunnel is down; the stale_* fields repeat the last "
+                     "fresh-process on-chip measurement, they are NOT from "
+                     "this run",
+            "stale_fifo_sec_per_frame": 1.912,
+            "stale_t2v_clip_s": 11.7,
+            "stale_source": "docs/PERF.md round-3 tuned-trio A/B "
+                            "(1.915/1.911/1.912); t2v from BENCH_r02",
+        }))
+        return
     if mode == "t2v":
         t2v = bench_t2v()
         result = {

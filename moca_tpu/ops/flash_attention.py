@@ -34,12 +34,13 @@ def _pick_block(size: int, candidates=(512, 256, 128, 64, 32, 16, 8)) -> int:
 
 
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale,
-               nkv, stat_lanes=_LANES):
+               nkv, stat_lanes=_LANES, nomax=False):
     j = pl.program_id(3)
 
     @pl.when(j == 0)
     def _init():
-        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        if not nomax:
+            m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
@@ -55,6 +56,26 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bkv]
+
+    if nomax:
+        # un-normalized exp2 softmax: drops the running max, its broadcast
+        # subtract, and the acc rescale — ~3 fewer VPU passes over the
+        # [bq, bkv] logits per kv block. fp32 exp2 only overflows past a
+        # base-2 logit of 127 (natural-log ≈ 88); attention that saturated
+        # is already degenerate. Flag-gated: MOCA_TPU_FA_NOMAX=1.
+        p = jnp.exp2(s)
+        l_ref[:] = l_ref[:] + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(j == nkv - 1)
+        def _finalize_nomax():
+            o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+        return
 
     m_prev = m_ref[:, :1]  # [bq, 1]
     l_prev = l_ref[:, :1]
@@ -82,7 +103,20 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale,
         o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
-def _fa_small_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+def _softmax_rows(logits, nomax):
+    """Row softmax over the last axis; optionally without the max shift.
+
+    `nomax` drops the max-reduce and its broadcast subtract (fp32 exp only
+    overflows past a natural-log logit of ~88; GroupNorm-bounded attention
+    logits sit orders of magnitude below). Flag-gated, default keeps the
+    shifted form."""
+    if not nomax:
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _fa_small_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, nomax=False):
     """Batched-rows single-pass attention for short sequences.
 
     One program handles `nb` independent (batch·head) rows of a full SxS
@@ -95,9 +129,7 @@ def _fa_small_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     logits = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale  # [nb, S, S]
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p = _softmax_rows(logits, nomax)
     out = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
@@ -106,8 +138,11 @@ def _fa_small_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
 
 def _small_attention(q, k, v):
     """[B,S,H,D] self-attention for S ≤ ~640 via the batched-rows kernel."""
+    import os
+
     b, s, h, d = q.shape
     scale = d**-0.5
+    nomax = os.environ.get("MOCA_TPU_FA_NOMAX", "0") == "1"
     bh = b * h
 
     def fold(t):
@@ -119,7 +154,7 @@ def _small_attention(q, k, v):
         nb -= 1
     grid = (bh // nb,)
     out = pl.pallas_call(
-        functools.partial(_fa_small_kernel, scale=scale),
+        functools.partial(_fa_small_kernel, scale=scale, nomax=nomax),
         out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
         grid=grid,
         in_specs=[
@@ -137,7 +172,8 @@ def _small_attention(q, k, v):
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
-def _packed_tiny_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, heads, d):
+def _packed_tiny_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, heads, d,
+                        qmask=True, nomax=False):
     """Tiny-sequence attention on PACKED heads ([nb, S, H·D] blocks).
 
     For the temporal transformers (S=16, batch B·H·W ≈ 40960): XLA's
@@ -156,13 +192,16 @@ def _packed_tiny_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, heads, d):
     for hh in range(heads):
         mask = jnp.logical_and(lane >= hh * d, lane < (hh + 1) * d)
         km = jnp.where(mask, k, jnp.zeros_like(k))
-        qm = jnp.where(mask, q, jnp.zeros_like(q))
+        # masking k alone selects the head: every q·k product outside the
+        # head's lanes multiplies km's zeros, so q need not be masked — bit-
+        # identical logits, one fewer [nb,S,C] VPU select per head
+        # (MOCA_TPU_FA_PACKEDQM=0 drops it; default keeps the validated
+        # double-masked form until the variant is measured on-chip)
+        qm = jnp.where(mask, q, jnp.zeros_like(q)) if qmask else q
         logits = jax.lax.dot_general(
             qm, km, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale  # [nb, S, S]
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = _softmax_rows(logits, nomax)
         vm = jnp.where(mask, v, jnp.zeros_like(v))
         out = jax.lax.dot_general(
             p.astype(v.dtype), vm, (((2,), (1,)), ((0,), (0,))),
@@ -176,9 +215,13 @@ def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      heads: int) -> jnp.ndarray:
     """Self-attention on [N, S, H·D] without splitting heads at the XLA
     level (no head-major transposes). For tiny S (temporal layers)."""
+    import os
+
     n, s, c = q.shape
     d = c // heads
     scale = d**-0.5
+    qmask = os.environ.get("MOCA_TPU_FA_PACKEDQM", "1") == "1"
+    nomax = os.environ.get("MOCA_TPU_FA_NOMAX", "0") == "1"
     # scale rows-per-program with channel width to stay under the 16MB
     # scoped VMEM limit with double-buffered IO (nb=128 at C=320 OOMed at
     # the T2V batch shape; wider channels need proportionally fewer rows)
@@ -188,7 +231,8 @@ def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         nb //= 2
     grid = (n // nb,)
     return pl.pallas_call(
-        functools.partial(_packed_tiny_kernel, scale=scale, heads=heads, d=d),
+        functools.partial(_packed_tiny_kernel, scale=scale, heads=heads, d=d,
+                          qmask=qmask, nomax=nomax),
         out_shape=jax.ShapeDtypeStruct((n, s, c), q.dtype),
         grid=grid,
         in_specs=[pl.BlockSpec((nb, s, c), lambda i: (i, 0, 0))] * 3,
@@ -240,9 +284,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
 
     stat_lanes = (1 if os.environ.get("MOCA_TPU_FA_NARROWSTAT", "0") == "1"
                   else _LANES)
+    nomax = os.environ.get("MOCA_TPU_FA_NOMAX", "0") == "1"
     grid = (b, h, nq, nkv)
     kernel = functools.partial(_fa_kernel, scale=scale, nkv=nkv,
-                               stat_lanes=stat_lanes)
+                               stat_lanes=stat_lanes, nomax=nomax)
 
     # only the kv axis carries state (online softmax); declaring the rest
     # parallel lets Mosaic pipeline across programs (perf sweep knobs)
@@ -266,7 +311,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((bq, stat_lanes), jnp.float32),  # running max
+            # nomax never touches the running max — allocate the minimum
+            # tile instead of [bq, lanes] (frees ~650 KB VMEM at bq=1280)
+            pltpu.VMEM((8, stat_lanes) if nomax else (bq, stat_lanes),
+                       jnp.float32),  # running max
             pltpu.VMEM((bq, stat_lanes), jnp.float32),  # running denom
             pltpu.VMEM((bq, d), jnp.float32),  # output accumulator
         ],

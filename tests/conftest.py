@@ -32,3 +32,35 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return jax.random.PRNGKey(0)
+
+
+# A full-suite run accumulates every module's compiled executables (and all
+# the torch-oracle modules' state) in one process; past ~200 tests an XLA
+# CPU compile has been seen to segfault — twice, both times inside
+# `backend_compile_and_load` while compiling a sharded-pipeline module near
+# the end of the alphabetical order; every test passes in isolation. Two
+# mitigations: (1) run the heaviest-compile modules FIRST, in a lean
+# process, before the torch-heavy oracle modules; (2) drop the jit caches
+# after every module so no compile ever happens in a process bloated by a
+# hundred earlier executables (cross-module cache reuse is ~nil — fixtures
+# are module-scoped — so this costs nothing).
+_HEAVY_FIRST = (
+    "test_pipeline_sharding.py",
+    "test_pipeline_e2e.py",
+    "test_sharding.py",
+)
+
+
+def pytest_collection_modifyitems(session, config, items):
+    order = {name: i for i, name in enumerate(_HEAVY_FIRST)}
+
+    def key(item):
+        return order.get(item.path.name, len(_HEAVY_FIRST))
+
+    items.sort(key=key)  # stable: within-module order preserved
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()

@@ -41,6 +41,30 @@ CASES = [
     (2, 160, 20, 64),
 ]
 
+# packed temporal kernel: every channel width the U-Net feeds it
+# (num_head_channels=64 → heads = C/64)
+PACKED_CASES = [(512, 16, 5, 64), (256, 16, 8, 64),
+                (256, 16, 10, 64), (128, 16, 20, 64)]
+
+
+def _check_packed(n, s, heads, d):
+    from moca_tpu.ops.attention import _xla_attention
+    from moca_tpu.ops.flash_attention import packed_attention
+
+    c = heads * d
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(kq, (n, s, c), jnp.bfloat16)
+    k = jax.random.normal(kk, (n, s, c), jnp.bfloat16)
+    v = jax.random.normal(kv, (n, s, c), jnp.bfloat16)
+    out = packed_attention(q, k, v, heads)
+    q4 = q.reshape(n, s, heads, d)
+    k4 = k.reshape(n, s, heads, d)
+    v4 = v.reshape(n, s, heads, d)
+    ref = _xla_attention(q4, k4, v4).reshape(n, s, c)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    assert err < 0.02, err
+
 
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
 @pytest.mark.parametrize("b,s,h,d", CASES)
@@ -48,7 +72,23 @@ def test_flash_matches_xla_tpu(b, s, h, d):
     _check_flash(b, s, h, d)
 
 
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+@pytest.mark.parametrize("n,s,h,d", PACKED_CASES)
+def test_packed_matches_xla_tpu(n, s, h, d):
+    _check_packed(n, s, h, d)
+
+
 if __name__ == "__main__":
+    import os
+
+    variant = [f"{k}={os.environ[k]}" for k in
+               ("MOCA_TPU_FA_NOMAX", "MOCA_TPU_FA_PACKEDQM",
+                "MOCA_TPU_FA_DIMSEM", "MOCA_TPU_FA_BQ", "MOCA_TPU_FA_BKV")
+               if k in os.environ]
+    print("variant:", variant or "default")
     for b, s_, h, d in CASES:
         _check_flash(b, s_, h, d)
-        print(f"ok s={s_}")
+        print(f"ok flash s={s_}")
+    for n, s_, h, d in PACKED_CASES:
+        _check_packed(n, s_, h, d)
+        print(f"ok packed C={h * d}")
