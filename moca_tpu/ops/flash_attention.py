@@ -211,6 +211,83 @@ def _packed_tiny_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, heads, d,
         o_ref[...] += out.astype(o_ref.dtype)
 
 
+def _packed_lane_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, hpb, d,
+                        nomax=False):
+    """Tiny-sequence attention on a LANE BLOCK of packed heads.
+
+    Unlike `_packed_tiny_kernel` (full channel width per program, `heads`×3
+    masked selects + `heads`× redundant contraction lanes), grid axis 1
+    walks the channel dim in 128-lane blocks (= 2 heads at d=64; Pallas
+    requires last-dim blocks divisible by 128, so C=320 stays on the
+    full-width kernel). A program touches only its own heads' lanes: the
+    select/flop redundancy is 2× over 128 lanes instead of heads× over the
+    full width — 4-10× less VPU+MXU work at C ≥ 512. v5e trace before:
+    the packed temporal calls ran at ~35 % of HBM roofline (compute-bound
+    on the masked redundancy).
+    """
+    q = q_ref[...]  # [nb, S, hpb·d]
+    k = k_ref[...]
+    v = v_ref[...]
+    if hpb == 1:
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # [nb, S, S]
+        p = _softmax_rows(logits, nomax)
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
+        return
+    lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, dimension=2)
+    o_ref[...] = jnp.zeros_like(o_ref)
+    for hh in range(hpb):
+        mask = jnp.logical_and(lane >= hh * d, lane < (hh + 1) * d)
+        # masking k alone selects the head (q·0 elsewhere) — bit-identical
+        # logits to masking both, one fewer select (cf. _packed_tiny_kernel)
+        km = jnp.where(mask, k, jnp.zeros_like(k))
+        logits = jax.lax.dot_general(
+            q, km, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        p = _softmax_rows(logits, nomax)
+        vm = jnp.where(mask, v, jnp.zeros_like(v))
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), vm, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # heads occupy disjoint lanes → accumulate in the output block
+        o_ref[...] += out.astype(o_ref.dtype)
+
+
+def _packed_lane_attention(q, k, v, *, d, bc, nomax):
+    """Lane-blocked dispatch of the packed temporal attention."""
+    import os
+
+    n, s, c = q.shape
+    scale = d**-0.5
+    hpb = bc // d
+    # rows per program: keep per-block IO constant across widths (~16K
+    # lane-elements); override for sweeps with MOCA_TPU_FA_LANE_NB
+    nb = int(os.environ.get("MOCA_TPU_FA_LANE_NB", "0")) or (16384 // bc)
+    nb = 1 << (nb.bit_length() - 1)
+    while n % nb:
+        nb //= 2
+    grid = (n // nb, c // bc)
+    return pl.pallas_call(
+        functools.partial(_packed_lane_kernel, scale=scale, hpb=hpb, d=d,
+                          nomax=nomax),
+        out_shape=jax.ShapeDtypeStruct((n, s, c), q.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((nb, s, bc), lambda i, j: (i, 0, j))] * 3,
+        out_specs=pl.BlockSpec((nb, s, bc), lambda i, j: (i, 0, j)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * s * s * c * hpb,
+            bytes_accessed=4 * n * s * c * q.dtype.itemsize,
+            transcendentals=n * (c // d) * s * s,
+        ),
+    )(q, k, v)
+
+
 def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      heads: int) -> jnp.ndarray:
     """Self-attention on [N, S, H·D] without splitting heads at the XLA
@@ -222,6 +299,12 @@ def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale = d**-0.5
     qmask = os.environ.get("MOCA_TPU_FA_PACKEDQM", "1") == "1"
     nomax = os.environ.get("MOCA_TPU_FA_NOMAX", "0") == "1"
+    # 128-lane head-pair blocks where the width allows it (Pallas requires
+    # last-dim blocks divisible by 128 — C=320 stays on the full-width
+    # kernel); covers C ∈ {512, 640, 1280}
+    if (os.environ.get("MOCA_TPU_FA_PACKED_LANE", "1") == "1"
+            and d == 64 and c % 128 == 0):
+        return _packed_lane_attention(q, k, v, d=d, bc=128, nomax=nomax)
     # scale rows-per-program with channel width to stay under the 16MB
     # scoped VMEM limit with double-buffered IO (nb=128 at C=320 OOMed at
     # the T2V batch shape; wider channels need proportionally fewer rows)

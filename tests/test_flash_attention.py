@@ -47,16 +47,22 @@ PACKED_CASES = [(512, 16, 5, 64), (256, 16, 8, 64),
                 (256, 16, 10, 64), (128, 16, 20, 64)]
 
 
-def _check_packed(n, s, heads, d):
+def _check_packed(n, s, heads, d, lane=None):
+    import os
+
     from moca_tpu.ops.attention import _xla_attention
     from moca_tpu.ops.flash_attention import packed_attention
 
+    if lane is not None:  # force a specific packed variant for the check
+        os.environ["MOCA_TPU_FA_PACKED_LANE"] = "1" if lane else "0"
     c = heads * d
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
     q = jax.random.normal(kq, (n, s, c), jnp.bfloat16)
     k = jax.random.normal(kk, (n, s, c), jnp.bfloat16)
     v = jax.random.normal(kv, (n, s, c), jnp.bfloat16)
     out = packed_attention(q, k, v, heads)
+    if lane is not None:
+        del os.environ["MOCA_TPU_FA_PACKED_LANE"]
     q4 = q.reshape(n, s, heads, d)
     k4 = k.reshape(n, s, heads, d)
     v4 = v.reshape(n, s, heads, d)
@@ -73,9 +79,10 @@ def test_flash_matches_xla_tpu(b, s, h, d):
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+@pytest.mark.parametrize("lane", [False, True])
 @pytest.mark.parametrize("n,s,h,d", PACKED_CASES)
-def test_packed_matches_xla_tpu(n, s, h, d):
-    _check_packed(n, s, h, d)
+def test_packed_matches_xla_tpu(n, s, h, d, lane):
+    _check_packed(n, s, h, d, lane=lane)
 
 
 if __name__ == "__main__":
@@ -90,5 +97,6 @@ if __name__ == "__main__":
         _check_flash(b, s_, h, d)
         print(f"ok flash s={s_}")
     for n, s_, h, d in PACKED_CASES:
-        _check_packed(n, s_, h, d)
-        print(f"ok packed C={h * d}")
+        for lane in (False, True):
+            _check_packed(n, s_, h, d, lane=lane)
+            print(f"ok packed C={h * d} lane={lane}")

@@ -86,6 +86,35 @@ def test_fa_small_kernel_interpret(nomax):
 
 
 @pytest.mark.parametrize("nomax", [False, True])
+@pytest.mark.parametrize("hpb", [1, 2])
+def test_packed_lane_kernel_interpret(hpb, nomax):
+    """Lane-blocked packed kernel: grid axis 1 walks head blocks."""
+    nb, s, heads, d = 4, 8, 4, 8
+    c = heads * d
+    bc = hpb * d
+    scale = d**-0.5
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (nb, s, c), jnp.float32)
+    k = jax.random.normal(kk, (nb, s, c), jnp.float32)
+    v = jax.random.normal(kv, (nb, s, c), jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(fa._packed_lane_kernel, scale=scale, hpb=hpb,
+                          d=d, nomax=nomax),
+        out_shape=jax.ShapeDtypeStruct((nb, s, c), jnp.float32),
+        grid=(1, c // bc),
+        in_specs=[pl.BlockSpec((nb, s, bc), lambda i, j: (i, 0, j))] * 3,
+        out_specs=pl.BlockSpec((nb, s, bc), lambda i, j: (i, 0, j)),
+        interpret=True,
+    )(q, k, v)
+    qh = np.asarray(q).reshape(nb, s, heads, d).transpose(0, 2, 1, 3)
+    kh = np.asarray(k).reshape(nb, s, heads, d).transpose(0, 2, 1, 3)
+    vh = np.asarray(v).reshape(nb, s, heads, d).transpose(0, 2, 1, 3)
+    ref = _ref_attention(qh, kh, vh, scale)  # [nb, heads, s, d]
+    ref = ref.transpose(0, 2, 1, 3).reshape(nb, s, c)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("nomax", [False, True])
 @pytest.mark.parametrize("qmask", [True, False])
 def test_packed_tiny_kernel_interpret(qmask, nomax):
     nb, s, heads, d = 4, 8, 2, 8
