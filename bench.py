@@ -342,10 +342,10 @@ def main():
                      "tunnel is down; the stale_* fields repeat the last "
                      "fresh-process on-chip measurement, they are NOT from "
                      "this run",
-            "stale_fifo_sec_per_frame": 1.866,
+            "stale_fifo_sec_per_frame": 1.840,
             "stale_t2v_clip_s": 11.7,
             "stale_source": "docs/PERF.md round-3 lane-blocked temporal "
-                            "kernel A/B (1.867/1.866); t2v from BENCH_r02",
+                            "kernel + full-KV flash (1.840); t2v from BENCH_r02",
         }))
         return
     if mode == "t2v":

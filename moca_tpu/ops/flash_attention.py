@@ -103,6 +103,32 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale,
         o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
+def _fa_onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, nomax=False):
+    """Single-pass attention: one program owns a q block and the FULL kv.
+
+    No online-softmax state, no scratch, no kv grid axis — the [bq, Sk]
+    fp32 logits live once in VMEM and die there. Only viable when the
+    logits tile fits (bq=512 × Sk=2560 → 5.2 MB, needs the 64 MiB
+    scoped-VMEM compile option the product ships in xla_opts; the r1
+    attempt at bq=bkv=2560 predated it and regressed).
+    """
+    q = (q_ref[0, 0].astype(jnp.float32)
+         * (scale * 1.4426950408889634)).astype(q_ref.dtype)  # [bq, d]
+    k = k_ref[0, 0]  # [Sk, d]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, Sk]
+    if not nomax:
+        s = s - jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp2(s)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
 def _softmax_rows(logits, nomax):
     """Row softmax over the last axis; optionally without the max shift.
 
@@ -343,21 +369,26 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     sk = k.shape[1]
     if sq == sk and sq <= 640 and sq % 8 == 0:
         return _small_attention(q, k, v)
-    # measured on v5e (FIFO bench, S=2560): bq=bkv=512 → 3.05 s/frame;
-    # single-pass full-KV (bkv=2560, 5.2MB logits tile) regressed to 5.28 s —
-    # VMEM pressure outweighs the saved online-softmax rescaling — but
-    # bkv=1280 (3.3MB logits tile) is the sweet spot: 61.3 → 48.5 ms per
-    # [256,5,2560,64] call vs bkv=640 (r2 sweep; bq=2560 and bkv=2560
-    # crash the remote compiler). Env overrides for tuning sweeps (must
-    # divide the sequence).
+    # Block-size history on v5e (FIFO bench, S=2560): r1 bq=bkv=512 →
+    # 3.05 s/frame, bkv=1280 the r2 sweet spot (1.867 s/frame with the
+    # lane-blocked temporal kernel). r3: FULL-KV blocks (bkv=sk) are
+    # fastest — no online-softmax state, no kv grid axis — now that the
+    # tuned 64 MiB scoped-VMEM compile option ships (the r1 full-KV
+    # attempt predated it and regressed): bq 640/2560 → 1.839, 1280/2560
+    # → 1.838, vs 1280/1280 → 1.867. bq=640 adopted (6.55 MB logits tile,
+    # half the VMEM of 1280 for the same speed). Env overrides for sweeps
+    # (must divide the sequence).
     bq_env = int(os.environ.get("MOCA_TPU_FA_BQ", "0"))
     bkv_env = int(os.environ.get("MOCA_TPU_FA_BKV", "0"))
-    # larger blocks amortize per-program overhead (FIFO bench sweep:
-    # bq=512/bkv=512 → 2.38 s/frame, 1280/512 → 2.30, 1280/640 → 2.23)
     bq = bq_env if bq_env and sq % bq_env == 0 else _pick_block(
-        sq, candidates=(1280, 1024, 512, 256, 128, 64, 32, 16, 8))
-    bkv = bkv_env if bkv_env and sk % bkv_env == 0 else _pick_block(
-        sk, candidates=(1280, 1024, 640, 512, 256, 128, 64, 32, 16, 8))
+        sq, candidates=(640, 512, 256, 128, 64, 32, 16, 8))
+    if bkv_env and sk % bkv_env == 0:
+        bkv = bkv_env
+    elif bq * sk * 4 <= 8 * 1024 * 1024:  # full-KV logits tile fits VMEM
+        bkv = sk
+    else:
+        bkv = _pick_block(
+            sk, candidates=(1280, 1024, 640, 512, 256, 128, 64, 32, 16, 8))
     nq, nkv = sq // bq, sk // bkv
     scale = d**-0.5
 
@@ -368,6 +399,28 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     stat_lanes = (1 if os.environ.get("MOCA_TPU_FA_NARROWSTAT", "0") == "1"
                   else _LANES)
     nomax = os.environ.get("MOCA_TPU_FA_NOMAX", "0") == "1"
+    if os.environ.get("MOCA_TPU_FA_ONEPASS", "0") == "1" and nkv == 1:
+        out = pl.pallas_call(
+            functools.partial(_fa_onepass_kernel, scale=scale, nomax=nomax),
+            out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+            grid=(b, h, nq),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel")),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0)),
+                pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bq, d),
+                                   lambda b_, h_, i: (b_, h_, i, 0)),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * sq * sk * d,
+                bytes_accessed=(q.size + k.size + v.size + q.size)
+                * q.dtype.itemsize,
+                transcendentals=b * h * sq * sk,
+            ),
+        )(qt, kt, vt)
+        return out.transpose(0, 2, 1, 3)
     grid = (b, h, nq, nkv)
     kernel = functools.partial(_fa_kernel, scale=scale, nkv=nkv,
                                stat_lanes=stat_lanes, nomax=nomax)

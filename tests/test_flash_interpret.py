@@ -66,6 +66,31 @@ def test_fa_kernel_interpret(nomax, stat_lanes):
 
 
 @pytest.mark.parametrize("nomax", [False, True])
+def test_fa_onepass_kernel_interpret(nomax):
+    b, h, s, d = 1, 2, 16, 8
+    bq = 8
+    scale = d**-0.5
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(4), 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(fa._fa_onepass_kernel, scale=scale, nomax=nomax),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), jnp.float32),
+        grid=(b, h, s // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0)),
+        interpret=True,
+    )(q, k, v)
+    ref = _ref_attention(np.asarray(q), np.asarray(k), np.asarray(v), scale)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("nomax", [False, True])
 def test_fa_small_kernel_interpret(nomax):
     nb, s, d = 4, 16, 8
     scale = d**-0.5
