@@ -174,8 +174,12 @@ def _small_attention(q, k, v):
     def fold(t):
         return t.transpose(0, 2, 1, 3).reshape(bh, s, d)
 
-    # nb rows per program: keep the fp32 logits tile ≤ ~2 MB
-    nb = max(1, (2 * 1024 * 1024) // (s * s * 4))
+    # nb rows per program: keep the fp32 logits tile ≤ ~8 MB. The old 2 MB
+    # cap left nb=1 at S=640 → 2560 single-row programs whose per-program
+    # overhead dominated (25.5 ms/call traced vs a ~3 ms compute floor);
+    # nb=4 fits comfortably now that the 64 MiB scoped-VMEM option ships.
+    cap = int(os.environ.get("MOCA_TPU_FA_SMALL_CAP_MB", "8"))
+    nb = max(1, (cap * 1024 * 1024) // (s * s * 4))
     while bh % nb:
         nb -= 1
     grid = (bh // nb,)
