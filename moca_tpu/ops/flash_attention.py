@@ -241,6 +241,32 @@ def _packed_tiny_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, heads, d,
         o_ref[...] += out.astype(o_ref.dtype)
 
 
+def _packed_slice_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, heads, d,
+                         nomax=False):
+    """Tiny-sequence packed attention via in-kernel 64-lane SLICES.
+
+    Same job as `_packed_tiny_kernel` but separates heads with static
+    lane slices instead of masked full-width dots — each head's
+    contraction runs over its own d lanes only (no `heads`× flop/select
+    redundancy). Only viable at C=320: this Mosaic version lowers 64-lane
+    slices/stores at C=320 but crashes on them at C ≥ 512 (see CLAUDE.md);
+    the C ≥ 512 widths use the 128-lane-grid `_packed_lane_kernel`.
+    """
+    q = q_ref[...]  # [nb, S, C]
+    k = k_ref[...]
+    v = v_ref[...]
+    for hh in range(heads):
+        lo, hi = hh * d, (hh + 1) * d
+        logits = jax.lax.dot_general(
+            q[:, :, lo:hi], k[:, :, lo:hi], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # [nb, S, S]
+        p = _softmax_rows(logits, nomax)
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, :, lo:hi], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, :, lo:hi] = out.astype(o_ref.dtype)
+
+
 def _packed_lane_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, hpb, d,
                         nomax=False):
     """Tiny-sequence attention on a LANE BLOCK of packed heads.
@@ -335,17 +361,30 @@ def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if (os.environ.get("MOCA_TPU_FA_PACKED_LANE", "1") == "1"
             and d == 64 and c % 128 == 0):
         return _packed_lane_attention(q, k, v, d=d, bc=128, nomax=nomax)
+    # C=320 (the one packed width not divisible by 128): in-kernel 64-lane
+    # slices lower fine at this width (Mosaic rejects them at C >= 512) —
+    # kills the heads× masked redundancy without a second launch. On-chip
+    # A/B at [40960,16,320]: 6.45 vs 7.89 ms/call, bit-identical (the
+    # two-call lane-split variant measured 11.2 ms — see docs/PERF.md).
+    use_slice = (os.environ.get("MOCA_TPU_FA_PACKED_SLICE", "1") == "1"
+                 and d == 64 and c == 320)
     # scale rows-per-program with channel width to stay under the 16MB
     # scoped VMEM limit with double-buffered IO (nb=128 at C=320 OOMed at
     # the T2V batch shape; wider channels need proportionally fewer rows)
-    nb = max(8, (64 * 320) // c)
+    nb = int(os.environ.get("MOCA_TPU_FA_PACKED_NB", "0")) or max(
+        8, (64 * 320) // c)
     nb = 1 << (nb.bit_length() - 1)  # round down to a power of two
     while n % nb:
         nb //= 2
     grid = (n // nb,)
+    if use_slice:
+        kernel = functools.partial(_packed_slice_kernel, scale=scale,
+                                   heads=heads, d=d, nomax=nomax)
+    else:
+        kernel = functools.partial(_packed_tiny_kernel, scale=scale,
+                                   heads=heads, d=d, qmask=qmask, nomax=nomax)
     return pl.pallas_call(
-        functools.partial(_packed_tiny_kernel, scale=scale, heads=heads, d=d,
-                          qmask=qmask, nomax=nomax),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((n, s, c), q.dtype),
         grid=grid,
         in_specs=[pl.BlockSpec((nb, s, c), lambda i: (i, 0, 0))] * 3,

@@ -140,6 +140,33 @@ def test_packed_lane_kernel_interpret(hpb, nomax):
 
 
 @pytest.mark.parametrize("nomax", [False, True])
+def test_packed_slice_kernel_interpret(nomax):
+    """In-kernel lane-sliced head separation (the C=320 product path)."""
+    nb, s, heads, d = 4, 8, 5, 8
+    c = heads * d
+    scale = d**-0.5
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(kq, (nb, s, c), jnp.float32)
+    k = jax.random.normal(kk, (nb, s, c), jnp.float32)
+    v = jax.random.normal(kv, (nb, s, c), jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(fa._packed_slice_kernel, scale=scale, heads=heads,
+                          d=d, nomax=nomax),
+        out_shape=jax.ShapeDtypeStruct((nb, s, c), jnp.float32),
+        grid=(1,),
+        in_specs=[pl.BlockSpec((nb, s, c), lambda i: (i, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((nb, s, c), lambda i: (i, 0, 0)),
+        interpret=True,
+    )(q, k, v)
+    qh = np.asarray(q).reshape(nb, s, heads, d).transpose(0, 2, 1, 3)
+    kh = np.asarray(k).reshape(nb, s, heads, d).transpose(0, 2, 1, 3)
+    vh = np.asarray(v).reshape(nb, s, heads, d).transpose(0, 2, 1, 3)
+    ref = _ref_attention(qh, kh, vh, scale)  # [nb, heads, s, d]
+    ref = ref.transpose(0, 2, 1, 3).reshape(nb, s, c)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("nomax", [False, True])
 @pytest.mark.parametrize("qmask", [True, False])
 def test_packed_tiny_kernel_interpret(qmask, nomax):
     nb, s, heads, d = 4, 8, 2, 8
