@@ -25,6 +25,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128  # stat scratch lane width
 
+# Per-kernel VMEM budget. The default 16 MiB scoped-VMEM limit is too small
+# for the full-KV / 8 MB-logits block shapes these kernels ship with; the
+# tuned jit options (xla_opts.tuned_jit) raise the jit-wide limit, but the
+# kernels must also compile under a plain `jax.jit` (user code, profiling
+# harnesses), so each pallas_call declares its own budget.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 
 def _pick_block(size: int, candidates=(512, 256, 128, 64, 32, 16, 8)) -> int:
     for c in candidates:
@@ -193,6 +200,7 @@ def _small_attention(q, k, v):
             pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * s * s * d,
             bytes_accessed=4 * bh * s * d * q.dtype.itemsize,
@@ -335,7 +343,8 @@ def _packed_lane_attention(q, k, v, *, d, bc, nomax):
         in_specs=[pl.BlockSpec((nb, s, bc), lambda i, j: (i, 0, j))] * 3,
         out_specs=pl.BlockSpec((nb, s, bc), lambda i, j: (i, 0, j)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=4 * n * s * s * c * hpb,
             bytes_accessed=4 * n * s * c * q.dtype.itemsize,
@@ -389,6 +398,7 @@ def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         grid=grid,
         in_specs=[pl.BlockSpec((nb, s, c), lambda i: (i, 0, 0))] * 3,
         out_specs=pl.BlockSpec((nb, s, c), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=4 * n * heads * s * s * d,
             bytes_accessed=4 * n * s * c * q.dtype.itemsize,
@@ -448,7 +458,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
             out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
             grid=(b, h, nq),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "parallel")),
+                dimension_semantics=("parallel", "parallel", "parallel"),
+                vmem_limit_bytes=_VMEM_LIMIT),
             in_specs=[
                 pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0)),
                 pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
@@ -470,7 +481,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
 
     # only the kv axis carries state (online softmax); declaring the rest
     # parallel lets Mosaic pipeline across programs (perf sweep knobs)
-    cp_kwargs = {}
+    cp_kwargs = {"vmem_limit_bytes": _VMEM_LIMIT}
     if os.environ.get("MOCA_TPU_FA_DIMSEM", "1") == "1":
         cp_kwargs["dimension_semantics"] = (
             "parallel", "parallel", "parallel", "arbitrary")
@@ -481,8 +492,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
         kernel,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         grid=grid,
-        compiler_params=pltpu.CompilerParams(**cp_kwargs) if cp_kwargs
-        else None,
+        compiler_params=pltpu.CompilerParams(**cp_kwargs),
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
             pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),

@@ -52,7 +52,9 @@ def capture(mode: str = "fifo", trace_dir: str = "/tmp/moca_trace"):
     def unet_apply(p, xx, tt, cc, fps=16):
         return unet.apply(p, xx, tt, cc, fps=fps)
 
-    @jax.jit
+    from moca_tpu.xla_opts import tuned_jit
+
+    @tuned_jit
     def iteration(p, latents, key):
         eps_fn = make_cfg_eps_fn(unet_apply, p, ctx, uc, 12.0)
         k1, k2 = jax.random.split(key)
