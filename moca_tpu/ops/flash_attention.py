@@ -25,12 +25,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128  # stat scratch lane width
 
-# Per-kernel VMEM budget. The default 16 MiB scoped-VMEM limit is too small
-# for the full-KV / 8 MB-logits block shapes these kernels ship with; the
-# tuned jit options (xla_opts.tuned_jit) raise the jit-wide limit, but the
-# kernels must also compile under a plain `jax.jit` (user code, profiling
-# harnesses), so each pallas_call declares its own budget.
-_VMEM_LIMIT = 64 * 1024 * 1024
+
+def _big_vmem() -> bool:
+    """Trace-time: is the tuned 64 MiB scoped-VMEM compile option in force?
+
+    Kernels pick block shapes at trace time, but the scoped-VMEM budget is a
+    per-jit compile option — the tuned_jit wrapper records which one applies
+    (xla_opts.big_vmem_available). Under a plain jax.jit (stock 16 MiB) the
+    aggressive shapes (full-KV S=2560 blocks, the 8 MB small-S logits cap)
+    fail Mosaic compilation, so those choices are gated on this. Declaring
+    per-kernel `vmem_limit_bytes` instead measured 17.28 s/frame vs 1.82
+    (driver bench) — see xla_opts.py.
+    """
+    from moca_tpu.xla_opts import big_vmem_available
+
+    return big_vmem_available()
 
 
 def _pick_block(size: int, candidates=(512, 256, 128, 64, 32, 16, 8)) -> int:
@@ -185,7 +194,8 @@ def _small_attention(q, k, v):
     # cap left nb=1 at S=640 → 2560 single-row programs whose per-program
     # overhead dominated (25.5 ms/call traced vs a ~3 ms compute floor);
     # nb=4 fits comfortably now that the 64 MiB scoped-VMEM option ships.
-    cap = int(os.environ.get("MOCA_TPU_FA_SMALL_CAP_MB", "8"))
+    cap_env = os.environ.get("MOCA_TPU_FA_SMALL_CAP_MB")
+    cap = int(cap_env) if cap_env else (8 if _big_vmem() else 2)
     nb = max(1, (cap * 1024 * 1024) // (s * s * 4))
     while bh % nb:
         nb -= 1
@@ -200,7 +210,6 @@ def _small_attention(q, k, v):
             pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0)),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * s * s * d,
             bytes_accessed=4 * bh * s * d * q.dtype.itemsize,
@@ -343,8 +352,7 @@ def _packed_lane_attention(q, k, v, *, d, bc, nomax):
         in_specs=[pl.BlockSpec((nb, s, bc), lambda i, j: (i, 0, j))] * 3,
         out_specs=pl.BlockSpec((nb, s, bc), lambda i, j: (i, 0, j)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=_VMEM_LIMIT),
+            dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=4 * n * s * s * c * hpb,
             bytes_accessed=4 * n * s * c * q.dtype.itemsize,
@@ -398,7 +406,6 @@ def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         grid=grid,
         in_specs=[pl.BlockSpec((nb, s, c), lambda i: (i, 0, 0))] * 3,
         out_specs=pl.BlockSpec((nb, s, c), lambda i: (i, 0, 0)),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=4 * n * heads * s * s * d,
             bytes_accessed=4 * n * s * c * q.dtype.itemsize,
@@ -437,7 +444,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
         sq, candidates=(640, 512, 256, 128, 64, 32, 16, 8))
     if bkv_env and sk % bkv_env == 0:
         bkv = bkv_env
-    elif bq * sk * 4 <= 8 * 1024 * 1024:  # full-KV logits tile fits VMEM
+    elif _big_vmem() and bq * sk * 4 <= 8 * 1024 * 1024:
+        # full-KV logits tile — only fits under the tuned 64 MiB scoped-VMEM
+        # compile option; a plain jax.jit (stock 16 MiB) must take the
+        # blocked path below or the Mosaic compile fails
         bkv = sk
     else:
         bkv = _pick_block(
@@ -458,8 +468,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
             out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
             grid=(b, h, nq),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "parallel"),
-                vmem_limit_bytes=_VMEM_LIMIT),
+                dimension_semantics=("parallel", "parallel", "parallel")),
             in_specs=[
                 pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0)),
                 pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
@@ -481,7 +490,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
 
     # only the kv axis carries state (online softmax); declaring the rest
     # parallel lets Mosaic pipeline across programs (perf sweep knobs)
-    cp_kwargs = {"vmem_limit_bytes": _VMEM_LIMIT}
+    cp_kwargs = {}
     if os.environ.get("MOCA_TPU_FA_DIMSEM", "1") == "1":
         cp_kwargs["dimension_semantics"] = (
             "parallel", "parallel", "parallel", "arbitrary")
@@ -492,7 +501,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
         kernel,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         grid=grid,
-        compiler_params=pltpu.CompilerParams(**cp_kwargs),
+        compiler_params=pltpu.CompilerParams(**cp_kwargs) if cp_kwargs
+        else None,
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
             pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),

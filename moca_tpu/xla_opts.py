@@ -34,6 +34,7 @@ the option names; tests run on CPU).
 
 from __future__ import annotations
 
+import contextvars
 import functools
 import os
 from typing import Optional
@@ -45,6 +46,20 @@ TUNED_TPU_OPTIONS = {
     "xla_tpu_use_bundle_aware_cost_model_for_fusions": "true",
     "xla_tpu_dot_dot_fusion_duplicated": "true",
 }
+
+# True while tracing under a tuned_jit whose compile options raise the
+# scoped-VMEM limit to >= 64 MiB. Kernels consult this at trace time to pick
+# block shapes beyond the stock 16 MiB budget (full-KV flash blocks, the 8 MB
+# small-S logits cap). Declaring per-kernel `vmem_limit_bytes` instead is NOT
+# equivalent: a blanket 64 MiB declaration on every attention pallas_call
+# measured 17.28 s/frame vs 1.82 (driver bench, r3) — the reservations starve
+# XLA's memory-space assignment around the kernels, the same signature as the
+# catastrophic scavenge-vmem option.
+_BIG_VMEM = contextvars.ContextVar("moca_tpu_big_vmem", default=False)
+
+
+def big_vmem_available() -> bool:
+    return _BIG_VMEM.get()
 
 
 def default_compiler_options() -> Optional[dict]:
@@ -74,14 +89,32 @@ def tuned_jit(fn=None, **jit_kwargs):
 
     def _jitted():
         if "jit" not in cell:
+            opts = default_compiler_options()
+            cell["big_vmem"] = bool(
+                opts
+                and int(opts.get("xla_tpu_scoped_vmem_limit_kib", "16384"))
+                >= 65536)
             cell["jit"] = jax.jit(
-                fn, compiler_options=default_compiler_options(), **jit_kwargs)
+                fn, compiler_options=opts, **jit_kwargs)
         return cell["jit"]
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        return _jitted()(*args, **kwargs)
+        jitted = _jitted()
+        token = _BIG_VMEM.set(cell["big_vmem"])
+        try:
+            return jitted(*args, **kwargs)
+        finally:
+            _BIG_VMEM.reset(token)
 
-    wrapper.lower = lambda *a, **k: _jitted().lower(*a, **k)
+    def _lower(*a, **k):
+        jitted = _jitted()
+        token = _BIG_VMEM.set(cell["big_vmem"])
+        try:
+            return jitted.lower(*a, **k)
+        finally:
+            _BIG_VMEM.reset(token)
+
+    wrapper.lower = _lower
     wrapper.clear_cache = lambda: cell.clear()
     return wrapper

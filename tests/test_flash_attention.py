@@ -33,6 +33,15 @@ def _check_flash(b, s, h, d):
     err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
                                 - ref.astype(jnp.float32))))
     assert err < 0.02, err
+    # eager/plain-jit uses the 16 MiB-safe blocks; the product path traces
+    # under tuned_jit (64 MiB scoped VMEM → full-KV blocks at S=2560, 8 MB
+    # small-S logits cap) — cover that block choice too
+    from moca_tpu.xla_opts import tuned_jit
+
+    out_tuned = tuned_jit(flash_attention)(q, k, v)
+    err = float(jnp.max(jnp.abs(out_tuned.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    assert err < 0.02, err
 
 
 CASES = [
