@@ -62,6 +62,13 @@ def big_vmem_available() -> bool:
     return _BIG_VMEM.get()
 
 
+def _opts_raise_scoped_vmem(opts: Optional[dict]) -> bool:
+    """Do these compile options raise the scoped-VMEM limit to >= 64 MiB?"""
+    return bool(
+        opts
+        and int(opts.get("xla_tpu_scoped_vmem_limit_kib", "16384")) >= 65536)
+
+
 def default_compiler_options() -> Optional[dict]:
     env = os.environ.get("MOCA_TPU_XLA_OPTS")
     if env is not None:
@@ -90,10 +97,7 @@ def tuned_jit(fn=None, **jit_kwargs):
     def _jitted():
         if "jit" not in cell:
             opts = default_compiler_options()
-            cell["big_vmem"] = bool(
-                opts
-                and int(opts.get("xla_tpu_scoped_vmem_limit_kib", "16384"))
-                >= 65536)
+            cell["big_vmem"] = _opts_raise_scoped_vmem(opts)
             cell["jit"] = jax.jit(
                 fn, compiler_options=opts, **jit_kwargs)
         return cell["jit"]

@@ -76,3 +76,64 @@ def test_tuned_jit_donate_argnums():
 
     out = f(jnp.zeros((8, 128), jnp.float32))
     assert float(out[0, 0]) == 1.0
+
+
+def test_opts_raise_scoped_vmem():
+    from moca_tpu.xla_opts import _opts_raise_scoped_vmem
+
+    assert _opts_raise_scoped_vmem(TUNED_TPU_OPTIONS)
+    assert _opts_raise_scoped_vmem({"xla_tpu_scoped_vmem_limit_kib": "98304"})
+    assert not _opts_raise_scoped_vmem(None)
+    assert not _opts_raise_scoped_vmem({})
+    assert not _opts_raise_scoped_vmem({"xla_tpu_rwb_fusion": "false"})
+    assert not _opts_raise_scoped_vmem(
+        {"xla_tpu_scoped_vmem_limit_kib": "32768"})
+
+
+def test_big_vmem_contextvar_plumbing():
+    """Kernels read the gate through flash_attention._big_vmem; tuned_jit
+    sets it around trace (full loop verified on-chip — a blanket per-kernel
+    vmem_limit_bytes instead measured 17.28 vs 1.82 s/frame, docs/PERF.md)."""
+    from moca_tpu import xla_opts
+    from moca_tpu.ops import flash_attention as fa
+
+    assert fa._big_vmem() is False
+    token = xla_opts._BIG_VMEM.set(True)
+    try:
+        assert fa._big_vmem() is True
+        assert xla_opts.big_vmem_available() is True
+    finally:
+        xla_opts._BIG_VMEM.reset(token)
+    assert fa._big_vmem() is False
+
+
+def test_tuned_jit_trace_sees_big_vmem(monkeypatch):
+    """On CPU the options resolve to None → the gate must stay False during
+    trace; with a fake options dict carrying the scoped-VMEM raise, the
+    trace must see True (compile options are stripped so the CPU compiler
+    accepts the jit)."""
+    from moca_tpu import xla_opts
+
+    seen = {}
+
+    def probe(x):
+        seen["big"] = xla_opts.big_vmem_available()
+        return x * 2.0
+
+    monkeypatch.delenv("MOCA_TPU_XLA_OPTS", raising=False)
+    f = tuned_jit(probe)
+    f(jnp.float32(1.0))
+    assert seen["big"] is False
+
+    seen.clear()
+    monkeypatch.setattr(xla_opts, "_opts_raise_scoped_vmem", lambda o: True)
+
+    # a distinct fn: pjit's global trace cache is keyed on the function
+    # object, so re-jitting `probe` would skip tracing entirely
+    def probe2(x):
+        seen["big"] = xla_opts.big_vmem_available()
+        return x * 2.0
+
+    g = tuned_jit(probe2)
+    g(jnp.float32(1.0))
+    assert seen["big"] is True
