@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from moca_tpu.ops.attention import (
-    dot_product_attention, packed_attention, use_packed_tiny,
+    dot_product_attention, fused_qkv_attention, packed_attention,
+    use_fused_qkv, use_packed_tiny,
 )
 from moca_tpu.ops.norms import GroupNorm32
 from moca_tpu.schedule import timestep_embedding
@@ -257,6 +258,38 @@ class RelativePosition(nn.Module):
         return table[dist + self.max_relative_position]
 
 
+class _DenseW(nn.Module):
+    """`nn.Dense` with externally readable weights (identical param tree).
+
+    The fused temporal-attention kernel (ops/flash_attention.
+    fused_qkv_attention) consumes the projection weights directly; flax
+    Dense only exposes its kernel through a call, so the q/k/v/out
+    projections use this module instead — `weights()` returns
+    (kernel, bias) cast to the compute dtype, `__call__` applies the same
+    y = x @ kernel (+ bias) as Dense."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x=None, weights_only: bool = False):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features),
+                            self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros_init(),
+                           (self.features,), self.param_dtype)
+                if self.use_bias else None)
+        kernel = kernel.astype(self.dtype)
+        bias = None if bias is None else bias.astype(self.dtype)
+        if weights_only:
+            return kernel, bias
+        y = x.astype(self.dtype) @ kernel
+        return y if bias is None else y + bias
+
+
 class CrossAttention(nn.Module):
     """Multi-head (self/cross) attention (attention.py:43-127).
 
@@ -281,11 +314,32 @@ class CrossAttention(nn.Module):
         h, d = self.heads, self.dim_head
         inner = h * d
         out_dim = x.shape[-1]
-        dense = lambda feats, name: nn.Dense(
-            feats, use_bias=False, dtype=self.dtype,
-            param_dtype=self.param_dtype, name=name)
+        in_dim = x.shape[-1]
+        ctx_dim = in_dim if context is None else context.shape[-1]
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        to_q = _DenseW(inner, in_dim, use_bias=False, name="to_q", **common)
+        to_k = _DenseW(inner, ctx_dim, use_bias=False, name="to_k", **common)
+        to_v = _DenseW(inner, ctx_dim, use_bias=False, name="to_v", **common)
+        to_out = _DenseW(out_dim, inner, name="to_out", **common)
 
-        q = dense(inner, "to_q")(x)
+        b, sq = x.shape[0], x.shape[1]
+        plain_self = (not self.causal and not self.relative_position
+                      and not (context is not None and self.img_cross_attention)
+                      and context is None)
+
+        if (plain_self and inner == in_dim == out_dim
+                and use_fused_qkv(sq, inner, h, d)):
+            # opt-in (default off): one Pallas pass for q/k/v/out
+            # projections + tiny-S attention. Measured a net loss on the
+            # product path — see use_fused_qkv and docs/PERF.md "fused QKV"
+            wq, _ = to_q(weights_only=True)
+            wk, _ = to_k(weights_only=True)
+            wv, _ = to_v(weights_only=True)
+            wo, bo = to_out(weights_only=True)
+            return fused_qkv_attention(x.astype(self.dtype), wq, wk, wv, wo,
+                                       bo, h)
+
+        q = to_q(x)
         ctx = x if context is None else context
         ctx_img = None
         if context is not None and self.img_cross_attention:
@@ -293,17 +347,14 @@ class CrossAttention(nn.Module):
                 ctx[:, : self.text_context_len],
                 ctx[:, self.text_context_len :],
             )
-        k = dense(inner, "to_k")(ctx)
-        v = dense(inner, "to_v")(ctx)
+        k = to_k(ctx)
+        v = to_v(ctx)
 
-        b, sq = q.shape[0], q.shape[1]
         sk = k.shape[1]
 
-        if (not self.causal and not self.relative_position and ctx_img is None
-                and context is None and use_packed_tiny(sq, sk, None, inner)):
+        if plain_self and use_packed_tiny(sq, sk, None, inner):
             out = packed_attention(q, k, v, h)
-            return nn.Dense(out_dim, dtype=self.dtype,
-                            param_dtype=self.param_dtype, name="to_out")(out)
+            return to_out(out)
 
         # Text cross-attention (kv=77) stays on XLA: a packed masked-kv
         # Pallas kernel (no head transposes, VMEM logits) measured
@@ -346,13 +397,14 @@ class CrossAttention(nn.Module):
         out = out.reshape(b, sq, inner)
 
         if ctx_img is not None:
-            k_ip = dense(inner, "to_k_ip")(ctx_img).reshape(b, -1, h, d)
-            v_ip = dense(inner, "to_v_ip")(ctx_img).reshape(b, -1, h, d)
+            k_ip = _DenseW(inner, ctx_img.shape[-1], use_bias=False,
+                           name="to_k_ip", **common)(ctx_img).reshape(b, -1, h, d)
+            v_ip = _DenseW(inner, ctx_img.shape[-1], use_bias=False,
+                           name="to_v_ip", **common)(ctx_img).reshape(b, -1, h, d)
             out_ip = dot_product_attention(qh, k_ip, v_ip)
             out = out + self.image_cross_attention_scale * out_ip.reshape(b, sq, inner)
 
-        return nn.Dense(out_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="to_out")(out)
+        return to_out(out)
 
 
 class GEGLU(nn.Module):

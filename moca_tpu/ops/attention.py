@@ -81,6 +81,50 @@ def packed_attention(q, k, v, heads: int):
     return _flash.packed_attention(q, k, v, heads)
 
 
+def use_fused_qkv(seq_len: int, channels: int, heads: int,
+                  dim_head: int) -> bool:
+    """Route a tiny-S SELF-attention through the fused
+    projections+attention+out kernel (flash_attention.fused_qkv_attention).
+
+    Requires inner == channels (square projections), d=64 heads, and either
+    C=320 (in-kernel 64-lane slices) or C % 128 == 0. The C=1280 weight set
+    (4 × 13.1 MB bf16) only fits under the tuned 64 MiB scoped-VMEM option,
+    so it additionally needs the big-VMEM trace gate.
+
+    Default OFF: measured a net LOSS on the product FIFO path (1.865 vs
+    1.818 s/frame all-widths, 1.835 C=320-only — docs/PERF.md "fused QKV").
+    The custom call's canonical-layout requirement on x costs more than
+    the relayouts it saves. Opt in with MOCA_TPU_FA_FUSED_QKV=1 or a
+    width allowlist ("320,512")."""
+    import os
+
+    if os.environ.get("MOCA_TPU_NO_PALLAS"):
+        return False
+    sel = os.environ.get("MOCA_TPU_FA_FUSED_QKV", "0")
+    if sel in ("0", ""):
+        return False
+    if sel != "1" and str(channels) not in sel.split(","):
+        return False  # width allowlist, e.g. "320,512" (bench sweeps)
+    if jax.default_backend() != "tpu":
+        return False
+    if dim_head != 64 or heads * dim_head != channels:
+        return False
+    if not (seq_len <= 32 and seq_len % 8 == 0):
+        return False
+    if channels == 320:
+        return True
+    if channels % 128 or channels > 1280:
+        return False
+    from moca_tpu.xla_opts import big_vmem_available
+
+    return channels <= 640 or big_vmem_available()
+
+
+def fused_qkv_attention(x, wq, wk, wv, wo, bo, heads: int):
+    """See flash_attention.fused_qkv_attention."""
+    return _flash.fused_qkv_attention(x, wq, wk, wv, wo, bo, heads)
+
+
 @functools.partial(jax.named_call, name="attention")
 def dot_product_attention(q, k, v, bias=None):
     """Multi-head attention on [B, S, H, D] (heads in dim 2).

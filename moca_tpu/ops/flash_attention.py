@@ -330,6 +330,120 @@ def _packed_lane_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, hpb, d,
         o_ref[...] += out.astype(o_ref.dtype)
 
 
+def _fused_qkv_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref,
+                      *, scale, heads, d, nomax=False):
+    """QKV projections + tiny-S attention + out projection in ONE pass.
+
+    The r3 FIFO trace showed the temporal transformers' C→C projection
+    dots lowering as conv-over-T emitters at 12-23 % of MXU peak plus a
+    canonical↔N-minor relayout copy per q/k/v operand (~340 ms/iteration
+    across widths; docs/PERF.md). Fusing the whole chain into one program
+    reads x once, keeps q/k/v/logits in VMEM/registers, and pays the
+    layout transition once per attention instead of 4-6×.
+
+    Head separation: in-kernel 64-lane slices at C=320 (proven by
+    `_packed_slice_kernel`); 128-lane slices with a 2-head lane mask at
+    C % 128 == 0 (64-lane slicing crashes Mosaic at C ≥ 512, 128-lane
+    aligned slices lower fine).
+    """
+    nb, s, c = x_ref.shape
+    x2 = x_ref[...].reshape(nb * s, c)
+
+    def proj(w_ref):
+        y = jax.lax.dot_general(
+            x2, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y.astype(x2.dtype).reshape(nb, s, c)
+
+    q = proj(wq_ref)
+    k = proj(wk_ref)
+    v = proj(wv_ref)
+
+    def head_attn(qs, ks, vs):
+        logits = jax.lax.dot_general(
+            qs, ks, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # [nb, S, S]
+        p = _softmax_rows(logits, nomax)
+        return jax.lax.dot_general(
+            p.astype(vs.dtype), vs, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(x2.dtype)
+
+    outs = []
+    if c == heads * d and c % 128 != 0:
+        # exact per-head 64-lane slices (C=320 path)
+        for hh in range(heads):
+            lo, hi = hh * d, (hh + 1) * d
+            outs.append(head_attn(q[:, :, lo:hi], k[:, :, lo:hi],
+                                  v[:, :, lo:hi]))
+    else:
+        # 128-lane slices = 2 heads; mask k/v per head inside the slice
+        hpb = 128 // d
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nb, s, 128), dimension=2)
+        for jj in range(c // 128):
+            lo, hi = jj * 128, (jj + 1) * 128
+            qs, ks, vs = q[:, :, lo:hi], k[:, :, lo:hi], v[:, :, lo:hi]
+            acc = None
+            for hh in range(hpb):
+                mask = jnp.logical_and(lane >= hh * d, lane < (hh + 1) * d)
+                km = jnp.where(mask, ks, jnp.zeros_like(ks))
+                vm = jnp.where(mask, vs, jnp.zeros_like(vs))
+                out = head_attn(qs, km, vm)
+                acc = out if acc is None else acc + out
+            outs.append(acc)
+    attn = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
+
+    o = jax.lax.dot_general(
+        attn.reshape(nb * s, c), wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o = o.astype(x2.dtype) + bo_ref[...].astype(x2.dtype)
+    o_ref[...] = o.reshape(nb, s, c)
+
+
+def fused_qkv_attention(x: jnp.ndarray, wq: jnp.ndarray, wk: jnp.ndarray,
+                        wv: jnp.ndarray, wo: jnp.ndarray, bo: jnp.ndarray,
+                        heads: int) -> jnp.ndarray:
+    """Fused to_q/to_k/to_v → packed tiny-S attention → to_out (+bias).
+
+    x [N, S, C]; w* [C, C]; bo [C]. Self-attention only (inner == C),
+    d = C // heads. See `_fused_qkv_kernel`.
+    """
+    import os
+
+    n, s, c = x.shape
+    d = c // heads
+    scale = d**-0.5
+    nomax = os.environ.get("MOCA_TPU_FA_NOMAX", "0") == "1"
+    # rows/program: keep the x block ≈ 16K lane-elements like the lane
+    # kernel (655 KB bf16 at S=16); override for sweeps
+    nb = int(os.environ.get("MOCA_TPU_FA_FUSED_NB", "0")) or max(
+        8, (64 * 320) // c)
+    nb = 1 << (nb.bit_length() - 1)
+    while n % nb:
+        nb //= 2
+    grid = (n // nb,)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    return pl.pallas_call(
+        functools.partial(_fused_qkv_kernel, scale=scale, heads=heads, d=d,
+                          nomax=nomax),
+        out_shape=jax.ShapeDtypeStruct((n, s, c), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, s, c), lambda i: (i, 0, 0)),
+            full((c, c)), full((c, c)), full((c, c)), full((c, c)),
+            full((1, c)),
+        ],
+        out_specs=pl.BlockSpec((nb, s, c), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * s * c * c + 4 * n * s * s * c,
+            bytes_accessed=2 * n * s * c * x.dtype.itemsize
+            + 4 * c * c * x.dtype.itemsize,
+            transcendentals=n * heads * s * s,
+        ),
+    )(x, wq, wk, wv, wo, bo.reshape(1, c))
+
+
 def _packed_lane_attention(q, k, v, *, d, bc, nomax):
     """Lane-blocked dispatch of the packed temporal attention."""
     import os

@@ -56,6 +56,52 @@ PACKED_CASES = [(512, 16, 5, 64), (256, 16, 8, 64),
                 (256, 16, 10, 64), (128, 16, 20, 64)]
 
 
+def _check_fused_qkv(n, s, heads, d, tuned=False):
+    """fused projections+attention+out kernel vs the XLA chain."""
+    from moca_tpu.ops.attention import _xla_attention
+    from moca_tpu.ops.flash_attention import fused_qkv_attention
+
+    c = heads * d
+    keys = jax.random.split(jax.random.PRNGKey(2), 6)
+    x = jax.random.normal(keys[0], (n, s, c), jnp.bfloat16)
+    wq, wk, wv, wo = (jax.random.normal(k, (c, c), jnp.bfloat16) * 0.05
+                      for k in keys[1:5])
+    bo = jax.random.normal(keys[5], (c,), jnp.bfloat16) * 0.05
+
+    def ref_chain(x, wq, wk, wv, wo, bo):
+        q = (x @ wq).reshape(n, s, heads, d)
+        k = (x @ wk).reshape(n, s, heads, d)
+        v = (x @ wv).reshape(n, s, heads, d)
+        out = _xla_attention(q, k, v).reshape(n, s, c)
+        return out @ wo + bo
+
+    if tuned:
+        from moca_tpu.xla_opts import tuned_jit
+
+        out = tuned_jit(fused_qkv_attention, static_argnums=(6,))(
+            x, wq, wk, wv, wo, bo, heads)
+    else:
+        out = fused_qkv_attention(x, wq, wk, wv, wo, bo, heads)
+    ref = ref_chain(x, wq, wk, wv, wo, bo)
+    # relative: the C=1280 out-proj sums 1280 bf16 terms → outputs O(2),
+    # abs-0.02 is tighter than a bf16 ulp there
+    scale_ref = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) or 1.0
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                - ref.astype(jnp.float32)))) / scale_ref
+    assert err < 0.02, err
+
+
+# fused qkv+attention+out kernel: the temporal self-attention widths
+FUSED_CASES = [(512, 16, 5, 64), (512, 16, 8, 64), (256, 16, 10, 64)]
+FUSED_TUNED_CASES = [(128, 16, 20, 64)]  # C=1280 weights need 64 MiB VMEM
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+@pytest.mark.parametrize("n,s,h,d", FUSED_CASES)
+def test_fused_qkv_matches_xla_tpu(n, s, h, d):
+    _check_fused_qkv(n, s, h, d)
+
+
 def _check_packed(n, s, heads, d, lane=None):
     import os
 
@@ -109,3 +155,9 @@ if __name__ == "__main__":
         for lane in (False, True):
             _check_packed(n, s_, h, d, lane=lane)
             print(f"ok packed C={h * d} lane={lane}")
+    for n, s_, h, d in FUSED_CASES:
+        _check_fused_qkv(n, s_, h, d)
+        print(f"ok fused qkv C={h * d}")
+    for n, s_, h, d in FUSED_TUNED_CASES:
+        _check_fused_qkv(n, s_, h, d, tuned=True)
+        print(f"ok fused qkv C={h * d} (tuned)")
