@@ -56,6 +56,44 @@ PACKED_CASES = [(512, 16, 5, 64), (256, 16, 8, 64),
                 (256, 16, 10, 64), (128, 16, 20, 64)]
 
 
+def test_use_fused_qkv_gate(monkeypatch):
+    """The fused-QKV route is OPT-IN (measured loss, docs/PERF.md) and the
+    env gate takes a width allowlist. Runs on CPU: the backend check is the
+    last gate, so allowlist/shape rejections are observable here; positive
+    routing is asserted by stubbing the backend."""
+    from moca_tpu.ops import attention as A
+
+    # default env → off everywhere
+    monkeypatch.delenv("MOCA_TPU_FA_FUSED_QKV", raising=False)
+    assert not A.use_fused_qkv(16, 320, 5, 64)
+
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("MOCA_TPU_FA_FUSED_QKV", "1")
+    assert A.use_fused_qkv(16, 320, 5, 64)
+    assert A.use_fused_qkv(16, 512, 8, 64)
+    assert not A.use_fused_qkv(16, 320, 10, 32)   # d != 64
+    assert not A.use_fused_qkv(16, 640, 5, 64)    # inner != C
+    assert not A.use_fused_qkv(77, 320, 5, 64)    # not tiny-S
+    assert not A.use_fused_qkv(16, 1536, 24, 64)  # > 1280
+
+    monkeypatch.setenv("MOCA_TPU_FA_FUSED_QKV", "320,512")
+    assert A.use_fused_qkv(16, 320, 5, 64)
+    assert A.use_fused_qkv(16, 512, 8, 64)
+    assert not A.use_fused_qkv(16, 640, 10, 64)   # not in allowlist
+
+    monkeypatch.setenv("MOCA_TPU_FA_FUSED_QKV", "0")
+    assert not A.use_fused_qkv(16, 320, 5, 64)
+
+    # C=1280 weights need the 64 MiB scoped-VMEM compile options
+    from moca_tpu import xla_opts
+
+    monkeypatch.setenv("MOCA_TPU_FA_FUSED_QKV", "1")
+    monkeypatch.setattr(xla_opts, "big_vmem_available", lambda: False)
+    assert not A.use_fused_qkv(16, 1280, 20, 64)
+    monkeypatch.setattr(xla_opts, "big_vmem_available", lambda: True)
+    assert A.use_fused_qkv(16, 1280, 20, 64)
+
+
 def _check_fused_qkv(n, s, heads, d, tuned=False):
     """fused projections+attention+out kernel vs the XLA chain."""
     from moca_tpu.ops.attention import _xla_attention
