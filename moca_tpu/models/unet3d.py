@@ -264,9 +264,9 @@ class _DenseW(nn.Module):
     The fused temporal-attention kernel (ops/flash_attention.
     fused_qkv_attention) consumes the projection weights directly; flax
     Dense only exposes its kernel through a call, so the q/k/v/out
-    projections use this module instead — `weights()` returns
-    (kernel, bias) cast to the compute dtype, `__call__` applies the same
-    y = x @ kernel (+ bias) as Dense."""
+    projections use this module instead — `__call__(weights_only=True)`
+    returns (kernel, bias) cast to the compute dtype, `__call__(x)` applies
+    the same y = x @ kernel (+ bias) as Dense."""
 
     features: int
     in_features: int

@@ -103,8 +103,8 @@ def use_fused_qkv(seq_len: int, channels: int, heads: int,
     sel = os.environ.get("MOCA_TPU_FA_FUSED_QKV", "0")
     if sel in ("0", ""):
         return False
-    if sel != "1" and str(channels) not in sel.split(","):
-        return False  # width allowlist, e.g. "320,512" (bench sweeps)
+    if sel != "1" and str(channels) not in [t.strip() for t in sel.split(",")]:
+        return False  # width allowlist, e.g. "320, 512" (bench sweeps)
     if jax.default_backend() != "tpu":
         return False
     if dim_head != 64 or heads * dim_head != channels:

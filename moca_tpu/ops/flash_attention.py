@@ -17,6 +17,7 @@ BlockSpec index maps, so no host-visible transpose is materialized.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128  # stat scratch lane width
+
+
+def _env_int(name: str, default: int = 0) -> int:
+    """Integer env knob; whitespace-tolerant, loud on non-numeric values."""
+    raw = os.environ.get(name, "").strip()
+    if not raw:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(f"{name} must be an integer, got {raw!r}") from None
 
 
 def _big_vmem() -> bool:
@@ -180,8 +192,6 @@ def _fa_small_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, nomax=False):
 
 def _small_attention(q, k, v):
     """[B,S,H,D] self-attention for S ≤ ~640 via the batched-rows kernel."""
-    import os
-
     b, s, h, d = q.shape
     scale = d**-0.5
     nomax = os.environ.get("MOCA_TPU_FA_NOMAX", "0") == "1"
@@ -194,8 +204,7 @@ def _small_attention(q, k, v):
     # cap left nb=1 at S=640 → 2560 single-row programs whose per-program
     # overhead dominated (25.5 ms/call traced vs a ~3 ms compute floor);
     # nb=4 fits comfortably now that the 64 MiB scoped-VMEM option ships.
-    cap_env = os.environ.get("MOCA_TPU_FA_SMALL_CAP_MB")
-    cap = int(cap_env) if cap_env else (8 if _big_vmem() else 2)
+    cap = _env_int("MOCA_TPU_FA_SMALL_CAP_MB") or (8 if _big_vmem() else 2)
     nb = max(1, (cap * 1024 * 1024) // (s * s * 4))
     while bh % nb:
         nb -= 1
@@ -415,7 +424,7 @@ def fused_qkv_attention(x: jnp.ndarray, wq: jnp.ndarray, wk: jnp.ndarray,
     nomax = os.environ.get("MOCA_TPU_FA_NOMAX", "0") == "1"
     # rows/program: keep the x block ≈ 16K lane-elements like the lane
     # kernel (655 KB bf16 at S=16); override for sweeps
-    nb = int(os.environ.get("MOCA_TPU_FA_FUSED_NB", "0")) or max(
+    nb = _env_int("MOCA_TPU_FA_FUSED_NB") or max(
         8, (64 * 320) // c)
     nb = 1 << (nb.bit_length() - 1)
     while n % nb:
@@ -453,7 +462,7 @@ def _packed_lane_attention(q, k, v, *, d, bc, nomax):
     hpb = bc // d
     # rows per program: keep per-block IO constant across widths (~16K
     # lane-elements); override for sweeps with MOCA_TPU_FA_LANE_NB
-    nb = int(os.environ.get("MOCA_TPU_FA_LANE_NB", "0")) or (16384 // bc)
+    nb = _env_int("MOCA_TPU_FA_LANE_NB") or (16384 // bc)
     nb = 1 << (nb.bit_length() - 1)
     while n % nb:
         nb //= 2
@@ -502,7 +511,7 @@ def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # scale rows-per-program with channel width to stay under the 16MB
     # scoped VMEM limit with double-buffered IO (nb=128 at C=320 OOMed at
     # the T2V batch shape; wider channels need proportionally fewer rows)
-    nb = int(os.environ.get("MOCA_TPU_FA_PACKED_NB", "0")) or max(
+    nb = _env_int("MOCA_TPU_FA_PACKED_NB") or max(
         8, (64 * 320) // c)
     nb = 1 << (nb.bit_length() - 1)  # round down to a power of two
     while n % nb:
@@ -528,7 +537,6 @@ def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(q, k, v)
 
 
-@functools.partial(jax.jit, static_argnames=())
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Fused attention on [B, S, H, D]; softmax in fp32. No bias/mask.
 
@@ -536,6 +544,13 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     as its trailing dims (TPU tiling wants the last two block dims to be
     8/128-aligned or full); XLA usually fuses the transposes into the
     surrounding projections.
+
+    Deliberately NOT wrapped in its own jax.jit: block shapes depend on the
+    caller's compile options via the big-VMEM contextvar (xla_opts), and an
+    inner jit caches the jaxpr per (fn, avals) — the first caller's block
+    choice would win for the whole process, compiling full-KV blocks under
+    plain jits (Mosaic failure) or conservative blocks under tuned ones
+    (silent perf loss). Every product caller jits at a higher level.
     """
     import os
 
@@ -552,8 +567,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     # → 1.838, vs 1280/1280 → 1.867. bq=640 adopted (6.55 MB logits tile,
     # half the VMEM of 1280 for the same speed). Env overrides for sweeps
     # (must divide the sequence).
-    bq_env = int(os.environ.get("MOCA_TPU_FA_BQ", "0"))
-    bkv_env = int(os.environ.get("MOCA_TPU_FA_BKV", "0"))
+    bq_env = _env_int("MOCA_TPU_FA_BQ")
+    bkv_env = _env_int("MOCA_TPU_FA_BKV")
     bq = bq_env if bq_env and sq % bq_env == 0 else _pick_block(
         sq, candidates=(640, 512, 256, 128, 64, 32, 16, 8))
     if bkv_env and sk % bkv_env == 0:

@@ -140,6 +140,14 @@ def test_fused_qkv_matches_xla_tpu(n, s, h, d):
     _check_fused_qkv(n, s, h, d)
 
 
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+@pytest.mark.parametrize("n,s,h,d", FUSED_TUNED_CASES)
+def test_fused_qkv_tuned_matches_xla_tpu(n, s, h, d):
+    """C=1280: the one fused-QKV width gated on the 64 MiB scoped-VMEM
+    compile options — must run under tuned_jit to compile at all."""
+    _check_fused_qkv(n, s, h, d, tuned=True)
+
+
 def _check_packed(n, s, heads, d, lane=None):
     import os
 
