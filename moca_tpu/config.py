@@ -36,6 +36,20 @@ class DiffusionParams:
     image_size: Tuple[int, int] = (40, 64)
     channels: int = 4
 
+    def __post_init__(self):
+        from moca_tpu.models.latent_diffusion import (
+            IMPLEMENTED_CONDITIONING_KEYS, UNSHIPPED_CONDITIONING_KEYS)
+
+        if self.conditioning_key in IMPLEMENTED_CONDITIONING_KEYS:
+            return
+        known = self.conditioning_key in UNSHIPPED_CONDITIONING_KEYS
+        raise NotImplementedError(
+            f"conditioning_key '{self.conditioning_key}' "
+            + ("belongs to a model variant the reference ships no config "
+               "or weights for (ddpm3d.py:718-762); " if known
+               else "is not a reference DiffusionWrapper mode; ")
+            + f"implemented keys: {IMPLEMENTED_CONDITIONING_KEYS}")
+
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:

@@ -22,6 +22,17 @@ from moca_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
 from moca_tpu.models.unet3d import UNetConfig, UNet3D
 from moca_tpu.models.vae import AutoencoderKL, VAEConfig
 
+# DiffusionWrapper conditioning-key dispatch (ddpm3d.py:696-763): the
+# VideoCrafter family uses these four; the remaining 8 reference modes
+# (resblockcond/adm/hybrid-adm/hybrid-time/concat-time-mask/concat-adm-mask/
+# hybrid-adm-mask/hybrid-time-adm) belong to model variants that ship no
+# config or weights — they are rejected EXPLICITLY (by name) instead of
+# silently misbehaving.
+IMPLEMENTED_CONDITIONING_KEYS = (None, "concat", "crossattn", "hybrid")
+UNSHIPPED_CONDITIONING_KEYS = (
+    "resblockcond", "adm", "hybrid-adm", "hybrid-time", "concat-time-mask",
+    "concat-adm-mask", "hybrid-adm-mask", "hybrid-time-adm")
+
 
 @dataclasses.dataclass
 class LatentDiffusion:
@@ -56,6 +67,54 @@ class LatentDiffusion:
             x = jnp.concatenate([x, c_concat], axis=-1)
         return self._unet.apply(params, x, t_frames, context, fps=fps,
                                 no_temporal_attn=no_temporal_attn)
+
+    def apply_model(self, params, x, t_frames, c_concat=None,
+                    c_crossattn=None, conditioning_key="crossattn", fps=16,
+                    **kwargs):
+        """DiffusionWrapper.forward dispatch (ddpm3d.py:696-763).
+
+        `c_concat` / `c_crossattn` are LISTS of tensors — the reference's
+        conditioning contract: channel concat happens on the channels axis
+        (last here, channels-last; dim=1 in the reference) and token concat
+        on axis 1, exactly ddpm3d.py:708-717.
+
+          * None       — unconditional U-Net (ddpm3d.py:705-706)
+          * 'concat'   — channel-concat conditioning, no context; the
+            spatial cross-attention blocks self-attend (a concat-mode
+            U-Net is BUILT with context_dim=None, like the torch
+            CrossAttention constructed without context_dim)
+          * 'crossattn'— the shipped VideoCrafter2 mode (:710-712)
+          * 'hybrid'   — channel concat + crossattn context (:713-717)
+
+        The remaining reference modes are rejected by name (see
+        UNSHIPPED_CONDITIONING_KEYS) — no silent fallthrough.
+        """
+        key = conditioning_key
+
+        def cat_x():
+            return jnp.concatenate([x] + list(c_concat), axis=-1)
+
+        def cat_c():
+            return jnp.concatenate(list(c_crossattn), axis=1)
+
+        if key is None:
+            return self._unet.apply(params, x, t_frames, None, fps=fps,
+                                    **kwargs)
+        if key == "concat":
+            return self._unet.apply(params, cat_x(), t_frames, None,
+                                    fps=fps, **kwargs)
+        if key == "crossattn":
+            return self._unet.apply(params, x, t_frames, cat_c(), fps=fps,
+                                    **kwargs)
+        if key == "hybrid":
+            return self._unet.apply(params, cat_x(), t_frames, cat_c(),
+                                    fps=fps, **kwargs)
+        if key in UNSHIPPED_CONDITIONING_KEYS:
+            raise NotImplementedError(
+                f"conditioning_key '{key}' (ddpm3d.py:718-762) belongs to a "
+                f"model variant the reference ships no config or weights "
+                f"for; implemented keys: {IMPLEMENTED_CONDITIONING_KEYS}")
+        raise NotImplementedError(f"unknown conditioning_key '{key}'")
 
     def count_params(self) -> dict:
         """Parameter counts per tower (utils/utils.py:8 count_params)."""

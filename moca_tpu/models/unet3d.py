@@ -710,8 +710,12 @@ class UNet3D(nn.Module):
             emb = emb + f
         emb = emb.reshape(b * t, cfg.time_embed_dim)
 
-        # context repeats per frame: [B,L,D] -> [(B T),L,D]
-        ctx = jnp.repeat(context, t, axis=0).astype(cfg.dtype)
+        # context repeats per frame: [B,L,D] -> [(B T),L,D]. None = the
+        # uncontexted modes (DiffusionWrapper None/'concat' keys,
+        # ddpm3d.py:705-709): spatial "cross"-attention falls back to
+        # self-attention, exactly the torch CrossAttention default.
+        ctx = (None if context is None
+               else jnp.repeat(context, t, axis=0).astype(cfg.dtype))
 
         h = x.reshape(b * t, hh, ww, x.shape[-1]).astype(cfg.dtype)
 

@@ -142,3 +142,124 @@ def test_zero_embed_sampling_runs(tiny_model):
         vids[ut] = np.asarray(pipe("a cat", jax.random.PRNGKey(0),
                                    height=32, width=32, frames=2))
         assert np.isfinite(vids[ut]).all()
+
+
+# ---------------------------------------------------------------------------
+# DiffusionWrapper conditioning-key dispatch (ddpm3d.py:696-763)
+# ---------------------------------------------------------------------------
+
+def _dispatch_model(in_channels=4, context_dim=16):
+    """LatentDiffusion with a tiny U-Net built for the given conditioning
+    shape (concat modes need in_channels=4+Cc; 'concat'/None need
+    context_dim=None → the spatial transformers self-attend)."""
+    from moca_tpu.models.clip_text import CLIPTextConfig
+    from moca_tpu.models.latent_diffusion import LatentDiffusion
+    from moca_tpu.models.unet3d import UNetConfig, UNet3D
+    from moca_tpu.models.vae import VAEConfig
+    from test_models import randomize_zero_params
+
+    cfg = UNetConfig(in_channels=in_channels, out_channels=4,
+                     model_channels=32, num_head_channels=8,
+                     context_dim=context_dim, channel_mult=(1, 2),
+                     attention_resolutions=(1, 2), num_res_blocks=1,
+                     temporal_length=2)
+    unet = UNet3D(cfg)
+    x = jnp.zeros((1, 2, 8, 8, in_channels))
+    ts = jnp.zeros((1, 2), jnp.int32)
+    ctx = None if context_dim is None else jnp.zeros((1, 7, context_dim))
+    params = randomize_zero_params(
+        unet.init(jax.random.PRNGKey(0), x, ts, ctx, fps=16))
+    return LatentDiffusion(
+        cfg, VAEConfig(ch=16, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                       resolution=32),
+        CLIPTextConfig(width=16, heads=2, layers=2), params, None, None)
+
+
+def test_apply_model_crossattn_token_concat():
+    """'crossattn' concatenates the c_crossattn list on the token axis
+    (ddpm3d.py:710-712) — must equal a manual concat through apply_unet."""
+    model = _dispatch_model()
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 4))
+    ts = jnp.full((1, 2), 500, jnp.int32)
+    c1 = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
+    c2 = jax.random.normal(jax.random.PRNGKey(3), (1, 7, 16))
+    out = model.apply_model(model.unet_params, x, ts, c_crossattn=[c1, c2],
+                            conditioning_key="crossattn")
+    ref = model.apply_unet(model.unet_params, x, ts,
+                           jnp.concatenate([c1, c2], axis=1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # context actually conditions the output
+    out2 = model.apply_model(model.unet_params, x, ts, c_crossattn=[c2, c1],
+                             conditioning_key="crossattn")
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_apply_model_hybrid():
+    """'hybrid' = channel concat + crossattn context (ddpm3d.py:713-717):
+    both conditionings reach the U-Net."""
+    model = _dispatch_model(in_channels=8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 4))
+    cc = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 8, 8, 4))
+    ts = jnp.full((1, 2), 500, jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
+    out = model.apply_model(model.unet_params, x, ts, c_concat=[cc],
+                            c_crossattn=[ctx], conditioning_key="hybrid")
+    assert out.shape == (1, 2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    out_cc = model.apply_model(model.unet_params, x, ts, c_concat=[cc * 2],
+                               c_crossattn=[ctx], conditioning_key="hybrid")
+    out_ctx = model.apply_model(model.unet_params, x, ts, c_concat=[cc],
+                                c_crossattn=[ctx * 2],
+                                conditioning_key="hybrid")
+    assert not np.allclose(np.asarray(out), np.asarray(out_cc))
+    assert not np.allclose(np.asarray(out), np.asarray(out_ctx))
+
+
+def test_apply_model_concat_and_uncond():
+    """'concat' (channel concat, no context — the spatial cross-attention
+    self-attends, ddpm3d.py:707-709) and the None key (:705-706)."""
+    model = _dispatch_model(in_channels=8, context_dim=None)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 4))
+    cc = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 8, 8, 4))
+    ts = jnp.full((1, 2), 500, jnp.int32)
+    out = model.apply_model(model.unet_params, x, ts, c_concat=[cc],
+                            conditioning_key="concat")
+    assert out.shape == (1, 2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    out2 = model.apply_model(model.unet_params, x, ts, c_concat=[cc * 2],
+                             conditioning_key="concat")
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+    plain = _dispatch_model(in_channels=4, context_dim=None)
+    out_un = plain.apply_model(plain.unet_params, x, ts,
+                               conditioning_key=None)
+    assert out_un.shape == (1, 2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out_un)).all()
+
+
+def test_apply_model_rejects_unshipped_keys():
+    """Every reference mode without shipped config/weights is rejected BY
+    NAME (ddpm3d.py:718-762), as is an unknown key."""
+    from moca_tpu.models.latent_diffusion import UNSHIPPED_CONDITIONING_KEYS
+
+    model = _dispatch_model()
+    x = jnp.zeros((1, 2, 8, 8, 4))
+    ts = jnp.zeros((1, 2), jnp.int32)
+    for key in UNSHIPPED_CONDITIONING_KEYS:
+        with pytest.raises(NotImplementedError, match=key):
+            model.apply_model(model.unet_params, x, ts,
+                              conditioning_key=key)
+    with pytest.raises(NotImplementedError, match="unknown"):
+        model.apply_model(model.unet_params, x, ts, conditioning_key="bogus")
+
+
+def test_config_rejects_unshipped_conditioning_key():
+    """The YAML surface rejects unshipped conditioning keys at parse time
+    with the key named (no silent crossattn fallback)."""
+    from moca_tpu.config import DiffusionParams
+
+    assert DiffusionParams(conditioning_key="hybrid").conditioning_key == "hybrid"
+    with pytest.raises(NotImplementedError, match="adm"):
+        DiffusionParams(conditioning_key="adm")
+    with pytest.raises(NotImplementedError, match="wavelet"):
+        DiffusionParams(conditioning_key="wavelet")
