@@ -255,10 +255,47 @@ def bench_fifo_seg() -> dict:
         masks = jnp.asarray(mask_np)
     jax.block_until_ready(head)
     sec_per_frame = (time.perf_counter() - t0) / n_runs
+
+    # --- detector-overlap proof (MoCAVideoPipeline.seg_async): the product
+    # pipeline dispatches iteration i+1 BEFORE synchronizing on iteration
+    # i's pred_x0, so a slow open-vocab detector runs while the device
+    # computes. Emulate both schedules around the same jitted iteration
+    # with a deliberately slow (50 ms/slot-batch) fake detector; hidden_pct
+    # reports how much of the added detector time the async schedule hides.
+    sleep_s = float(os.environ.get("BENCH_SEG_SLEEP", "0.05"))
+    t0 = time.perf_counter()
+    for i in range(n_runs):  # sync: sync pred → detect → dispatch next
+        latents, head, pred = iteration(uparams, latents, masks,
+                                        jax.random.PRNGKey(11 + i))
+        _ = np.asarray(pred)
+        time.sleep(sleep_s)
+        masks = jnp.asarray(mask_np)
+    jax.block_until_ready(head)
+    slow_sync_spf = (time.perf_counter() - t0) / n_runs
+    prev = None
+    t0 = time.perf_counter()
+    for i in range(n_runs):  # async: dispatch next → sync PREVIOUS → detect
+        latents, head, pred = iteration(uparams, latents, masks,
+                                        jax.random.PRNGKey(15 + i))
+        if prev is not None:
+            _ = np.asarray(prev)
+            time.sleep(sleep_s)
+            masks = jnp.asarray(mask_np)
+        prev = pred
+    _ = np.asarray(prev)
+    time.sleep(sleep_s)  # drain — same detector-call count as sync
+    jax.block_until_ready(head)
+    slow_async_spf = (time.perf_counter() - t0) / n_runs
+    hidden_pct = 100.0 * (slow_sync_spf - slow_async_spf) / sleep_s
+
     return {
         "fifo_seg_sec_per_frame": round(sec_per_frame, 3),
         "fifo_seg_pred_slots": k_low,
         "fifo_seg_compile_s": round(compile_s, 1),
+        "fifo_seg_slow_sync_spf": round(slow_sync_spf, 3),
+        "fifo_seg_slow_async_spf": round(slow_async_spf, 3),
+        "fifo_seg_detector_sleep_s": sleep_s,
+        "fifo_seg_async_hidden_pct": round(hidden_pct, 1),
     }
 
 

@@ -70,6 +70,14 @@ class MoCAVideoPipeline:
     # (funcs_mp.py:39-46, the multiprocess path's variant).
     tail_mode: str = "freeinit"
     uncond_type: str = "empty_seq"  # ddpm3d.py:397 empty_seq | zero_embed
+    # Open-vocab provider scheduling. True (default): iteration i+1 is
+    # DISPATCHED before the host synchronizes on iteration i's pred_x0, so
+    # the detector runs while the device computes — masks lag TWO
+    # iterations (detected at queue slot j, consumed at slot j-2). False:
+    # the r3 behavior — synchronize, detect, then dispatch (lag one slot,
+    # detector time serializes with device compute). The reference pays the
+    # detector inside the denoise loop every frame (ddim.py:592-606).
+    seg_async: bool = True
 
     def __post_init__(self):
         self.num_inference_steps = self.video_length * self.num_partitions
@@ -138,17 +146,24 @@ class MoCAVideoPipeline:
         queue noise levels are ascending)."""
         return int(np.sum(self.plan.timesteps <= self.moca.inject_threshold))
 
-    def _pull_masks(self, pred_low, mask_provider, target, counter, hw):
-        """Host-side open-vocab mask acquisition for the next iteration.
+    def _pull_masks(self, pred_low, mask_provider, target, counter, hw,
+                    lag=1):
+        """Host-side open-vocab mask acquisition.
 
         Mirrors the reference's per-frame sweep (ddim.py:592-606: every
         t≤300 frame is segmented from its pre-injection pred_x0, with
         `pre_masks` state carried across frames — here the provider object
-        holds that state). The queue shifts after every iteration, so the
-        mask detected at slot j lands at slot j-1 of the next queue; slot 0
-        is popped with its frame. Provider calls happen while the device is
-        already running the next iteration's U-Net dispatch — only the small
-        [k, h, w, C] pred transfer synchronizes."""
+        holds that state). The queue shifts `lag` times between the
+        iteration whose pred_x0 is segmented and the iteration that
+        consumes the masks, so the mask detected at slot j lands at slot
+        j-lag of the consuming queue (slots that shifted out are dropped
+        with their frames). lag=1 is the synchronous mode; lag=2 the async
+        mode, where this call runs while the device computes the iteration
+        in between (see `seg_async`).
+
+        Synchronizes on `pred_low` — in async mode the caller has already
+        dispatched the next iteration, so the wait (and the provider's own
+        latency) overlaps device compute."""
         from moca_tpu.io.segmentation import latent_to_uint8_frame
 
         h, w = hw
@@ -159,8 +174,8 @@ class MoCAVideoPipeline:
             frame = latent_to_uint8_frame(pred_np[0, j])
             m = mask_provider(counter, frame, target)
             counter += 1
-            if m is not None and j >= 1:
-                new_masks[0, j - 1, :, :, 0] = np.asarray(m, np.float32)
+            if m is not None and j >= lag:
+                new_masks[0, j - lag, :, :, 0] = np.asarray(m, np.float32)
         return jnp.asarray(new_masks), counter
 
     @functools.partial(tuned_jit, static_argnums=(0,))
@@ -234,10 +249,12 @@ class MoCAVideoPipeline:
         the reference's IoU/coverage/prev-mask gates — is called host-side
         once per t≤300 queue slot per iteration with the uint8-converted
         pre-injection pred_x0 (conversion of ddim.py:744-763) and `target`
-        (defaults to the prompt, like get_davis_prompt's target). Masks feed
-        the NEXT iteration's injection (one-iteration lag keeps the denoise
-        stream free of host round trips). Ignored when DAVIS `masks` are
-        given (the reference's precedence, ddim.py:565-606)."""
+        (defaults to the prompt, like get_davis_prompt's target). With
+        `seg_async` (default) the provider runs while the device computes
+        the following iteration and its masks land two iterations later;
+        `seg_async=False` serializes detector and device with a
+        one-iteration lag. Ignored when DAVIS `masks` are given (the
+        reference's precedence, ddim.py:565-606)."""
         h, w = height // 8, width // 8
         k_base, k_queue, k_fifo = jax.random.split(key, 3)
 
@@ -301,6 +318,7 @@ class MoCAVideoPipeline:
                 (1, self.plan.queue_length, h, w, 1), jnp.float32)
             seg_target = target if target is not None else prompt
             seg_frame_counter = 0
+            seg_pending_pred = None  # seg_async: pred awaiting the provider
 
         cond = (jnp.asarray(cond_image, jnp.float32)
                 if cond_image is not None else None)
@@ -343,6 +361,10 @@ class MoCAVideoPipeline:
                 if "seg_prev_mask" in snap and hasattr(
                         mask_provider, "prev_mask"):
                     mask_provider.prev_mask = snap["seg_prev_mask"]
+                if "seg_pending_pred" in snap:
+                    # async mode: the snapshotted iteration's pred_x0 had
+                    # not been through the provider yet
+                    seg_pending_pred = jnp.asarray(snap["seg_pending_pred"])
 
         def checkpoint(i):
             if not ckpt_path:
@@ -358,6 +380,8 @@ class MoCAVideoPipeline:
                 prev = getattr(mask_provider, "prev_mask", None)
                 if prev is not None:
                     payload["seg_prev_mask"] = np.asarray(prev)
+                if seg_pending_pred is not None:
+                    payload["seg_pending_pred"] = np.asarray(seg_pending_pred)
             np.savez(ckpt_path + ".tmp.npz", **payload)
             os.replace(ckpt_path + ".tmp.npz", ckpt_path)
 
@@ -414,11 +438,21 @@ class MoCAVideoPipeline:
             if masks is not None:
                 mask_queue = shift_masks(
                     mask_queue, jnp.asarray(mask_tail_src, jnp.float32))
+            elif seg_mode and self.seg_async:
+                # iteration i is already dispatched above; segment the
+                # PREVIOUS iteration's pred_x0 while the device computes —
+                # its masks feed iteration i+1's dispatch (lag 2)
+                if seg_pending_pred is not None:
+                    with timer.stage("mask_provider"):
+                        mask_queue, seg_frame_counter = self._pull_masks(
+                            seg_pending_pred, mask_provider, seg_target,
+                            seg_frame_counter, (h, w), lag=2)
+                seg_pending_pred = pred_low
             elif seg_mode:
                 with timer.stage("mask_provider"):
                     mask_queue, seg_frame_counter = self._pull_masks(
                         pred_low, mask_provider, seg_target,
-                        seg_frame_counter, (h, w))
+                        seg_frame_counter, (h, w), lag=1)
             # heads stay on device; decode in batches (async dispatch keeps
             # the denoise pipeline ahead of the decodes)
             pending_heads.append(head)
@@ -426,6 +460,16 @@ class MoCAVideoPipeline:
                 flush()
             if self.checkpoint_every and (i + 1) % self.checkpoint_every == 0:
                 checkpoint(i)
+        if seg_mode and self.seg_async and seg_pending_pred is not None:
+            # drain: the final iteration's t≤300 frames still go through the
+            # detector (masks have no consumer, but the per-frame contract —
+            # every low-t slot of every iteration is segmented, matching the
+            # reference's sweep — and the provider's prev-mask state stay
+            # mode-independent)
+            with timer.stage("mask_provider"):
+                _, seg_frame_counter = self._pull_masks(
+                    seg_pending_pred, mask_provider, seg_target,
+                    seg_frame_counter, (h, w), lag=2)
         flush()
         if ckpt_path and os.path.exists(ckpt_path):
             os.remove(ckpt_path)  # completed — drop the snapshot

@@ -72,6 +72,10 @@ def test_resume_seg_mode_reproduces_uninterrupted_run(tiny_model, tmp_path):
              frame_callback=killer, mask_provider=provider, **kw)
     snap = np.load(run_dir / "fifo_state.npz")
     assert "seg_frame_counter" in snap and "seg_prev_mask" in snap
+    # async mode (the default): the snapshotted iteration's pred_x0 hasn't
+    # been through the provider yet — it must ride the snapshot or the
+    # resumed run would skip one detector sweep and diverge
+    assert "seg_pending_pred" in snap
 
     # resume with a FRESH provider (new process): state comes from the snap
     resumed = pipe("a mouse", key, latents_dir=str(run_dir),

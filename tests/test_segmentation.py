@@ -136,11 +136,11 @@ def tiny_model():
         latent_hw=(HEIGHT // 8, WIDTH // 8), frames=F)
 
 
-def _run(tiny_model, provider, key=3, **call_kw):
+def _run(tiny_model, provider, key=3, pipe_kw=None, **call_kw):
     pipe = MoCAVideoPipeline(
         tiny_model, HashTokenizer(), video_length=F, num_partitions=N,
         new_video_length=3, guidance_scale=7.5,
-        moca=MoCAConfig(inject_into_queue=True))
+        moca=MoCAConfig(inject_into_queue=True), **(pipe_kw or {}))
     h, w = HEIGHT // 8, WIDTH // 8
     cond = np.full((h, w, 4), 0.4, np.float32)
     frames = pipe("a dog", jax.random.PRNGKey(key), cond_image=cond,
@@ -200,3 +200,98 @@ def test_davis_masks_take_precedence_over_provider(tiny_model):
     _run(tiny_model, CallbackMaskProvider(fake_detector), key=7,
          clean_latents=clean, masks=masks)
     assert not calls
+
+
+# ---------------------------------------------------------------------------
+# async provider scheduling (MoCAVideoPipeline.seg_async)
+# ---------------------------------------------------------------------------
+
+def test_pull_masks_lag_placement(tiny_model):
+    """A mask detected at queue slot j lands at slot j-lag of the consuming
+    queue (the queue shifts `lag` times in between); slots that shift out
+    are dropped with their frames."""
+    import jax.numpy as jnp
+
+    pipe = MoCAVideoPipeline(
+        tiny_model, HashTokenizer(), video_length=F, num_partitions=N,
+        new_video_length=3, guidance_scale=7.5)
+    h, w = HEIGHT // 8, WIDTH // 8
+    k_low = pipe._num_low_t_slots()
+    assert k_low >= 3  # the lag placement needs a few low-t slots to show
+    pred = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, k_low, h, w, 4)),
+        jnp.float32)
+
+    def seg(frame, target):
+        m = np.zeros(frame.shape[:2], np.float32)
+        m[:2, :2] = 1.0  # partial — a full mask trips the 80% coverage gate
+        return m
+
+    for lag in (1, 2):
+        masks, counter = pipe._pull_masks(
+            pred, CallbackMaskProvider(seg), "cat", 0, (h, w), lag=lag)
+        m = np.asarray(masks)[0, :, :, :, 0]
+        filled = [j for j in range(pipe.plan.queue_length) if m[j].any()]
+        assert filled == list(range(k_low - lag)), (lag, filled)
+        assert counter == k_low
+
+
+@pytest.mark.parametrize("seg_async,expected_dispatches", [(True, 2),
+                                                           (False, 1)])
+def test_seg_async_dispatches_before_provider(tiny_model, seg_async,
+                                              expected_dispatches):
+    """The point of seg_async: iteration i+1 must be DISPATCHED before the
+    provider consumes iteration i's pred_x0 (so detector latency overlaps
+    device compute). Sync mode serializes: one dispatch, then the provider.
+    Deterministic structural check — no wall-clock flakiness."""
+    events = []
+
+    def seg(frame, target):
+        events.append("provider")
+        return np.ones(frame.shape[:2], np.float32)
+
+    pipe = MoCAVideoPipeline(
+        tiny_model, HashTokenizer(), video_length=F, num_partitions=N,
+        new_video_length=3, guidance_scale=7.5, seg_async=seg_async)
+    inner = type(pipe)._fifo_iteration
+
+    def logged(*a, **kw):
+        events.append("dispatch")
+        return inner(pipe, *a, **kw)
+
+    pipe._fifo_iteration = logged  # instance attr shadows the class method
+    h, w = HEIGHT // 8, WIDTH // 8
+    pipe("a dog", jax.random.PRNGKey(3),
+         cond_image=np.full((h, w, 4), 0.4, np.float32),
+         height=HEIGHT, width=WIDTH,
+         mask_provider=CallbackMaskProvider(seg), target="cat")
+    first_provider = events.index("provider")
+    assert events[:first_provider].count("dispatch") == expected_dispatches
+    # every low-t slot of every iteration was segmented in both modes
+    # (async drains the final pending pred after the loop)
+    total_iters = 3 + F * N - F
+    assert events.count("provider") == total_iters * pipe._num_low_t_slots()
+
+
+def test_seg_async_changes_mask_timing(tiny_model):
+    """lag 2 vs lag 1 lands masks one iteration later — with a firing
+    detector the outputs must differ; with a silent detector the two modes
+    are bit-identical (no mask ever lands)."""
+    def firing(frame, target):
+        m = np.zeros(frame.shape[:2], np.float32)
+        m[:2, :2] = 1.0  # partial — a full mask trips the 80% coverage gate
+        return m
+
+    silent = lambda frame, target: None
+
+    _, f_async = _run(tiny_model, CallbackMaskProvider(firing), key=9,
+                      pipe_kw=dict(seg_async=True))
+    _, f_sync = _run(tiny_model, CallbackMaskProvider(firing), key=9,
+                     pipe_kw=dict(seg_async=False))
+    assert np.abs(f_async - f_sync).max() > 1e-6
+
+    _, e_async = _run(tiny_model, CallbackMaskProvider(silent), key=9,
+                      pipe_kw=dict(seg_async=True))
+    _, e_sync = _run(tiny_model, CallbackMaskProvider(silent), key=9,
+                     pipe_kw=dict(seg_async=False))
+    np.testing.assert_array_equal(e_async, e_sync)
