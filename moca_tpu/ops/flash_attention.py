@@ -61,8 +61,40 @@ def _pick_block(size: int, candidates=(512, 256, 128, 64, 32, 16, 8)) -> int:
     return size
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale,
-               nkv, stat_lanes=_LANES, nomax=False):
+def _softmax_mode() -> str:
+    """Softmax variant for the large-S flash paths: safe | nomax | guarded.
+
+    * safe    — classic online softmax with the running-max shift; exact
+                for any input.
+    * nomax   — un-normalized exp2 (no max shift): ~2 fewer VPU passes over
+                the [bq, bkv] logits, but fp32 exp2 overflows past a base-2
+                logit of 127 → silent NaN on pathologically sharp heads.
+    * guarded (default) — nomax compute + an in-kernel finiteness flag on
+                the fp32 output tile (covers overflow→inf, inf/inf→nan,
+                all-underflow→0/0); a lax.cond re-runs the safe kernel only
+                when flagged. Exact-safe at nomax speed: the flag is one
+                cheap reduce over the [bq, d] accumulator per q block, and
+                normal attention never triggers the fallback. Rows whose
+                max base-2 logit lies in (-126, -120) keep subnormal-level
+                precision (≫ bf16 output ulp) without flagging.
+
+    MOCA_TPU_FA_SOFTMAX overrides; MOCA_TPU_FA_NOMAX=1 is the legacy alias
+    for the raw nomax mode.
+    """
+    mode = os.environ.get("MOCA_TPU_FA_SOFTMAX", "").strip().lower()
+    if mode in ("safe", "nomax", "guarded"):
+        return mode
+    if os.environ.get("MOCA_TPU_FA_NOMAX", "0") == "1":
+        return "nomax"
+    return "guarded"
+
+
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *refs, scale, nkv,
+               stat_lanes=_LANES, nomax=False, guard=False):
+    if guard:
+        f_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        f_ref, (m_ref, l_ref, acc_ref) = None, refs
     j = pl.program_id(3)
 
     @pl.when(j == 0)
@@ -101,7 +133,17 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale,
 
         @pl.when(j == nkv - 1)
         def _finalize_nomax():
-            o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+            o32 = acc_ref[:] / l_ref[:, :1]
+            o_ref[0, 0] = o32.astype(o_ref.dtype)
+            if guard:
+                # any overflow/underflow path ends in a non-finite fp32
+                # output element: p=inf → acc or l inf → inf or inf/inf=nan;
+                # all-rows-underflow → l=0 → 0/0=nan. One reduce over the
+                # [bq, d] accumulator tile per q block — ~bkv/d× cheaper
+                # than the logits passes the nomax form saves.
+                bad = jnp.logical_not(jnp.all(jnp.abs(o32) < jnp.inf))
+                f_ref[0, 0, 0] = jnp.broadcast_to(
+                    bad.astype(jnp.float32), f_ref.shape[-2:])
 
         return
 
@@ -170,12 +212,16 @@ def _softmax_rows(logits, nomax):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _fa_small_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, nomax=False):
+def _fa_small_kernel(q_ref, k_ref, v_ref, o_ref, f_ref=None, *, scale,
+                     nomax=False, guard=False):
     """Batched-rows single-pass attention for short sequences.
 
     One program handles `nb` independent (batch·head) rows of a full SxS
     attention — amortizing grid overhead that dominates at small S (the
     per-(b,h,q-block,kv-block) grid costs 62 ms at S=160 vs ~5 ms here).
+
+    `guard`: nomax softmax + a finiteness flag on the fp32 output tile
+    (see _softmax_mode); the caller re-runs the safe form when flagged.
     """
     q = q_ref[...]  # [nb, S, d]
     k = k_ref[...]
@@ -183,18 +229,23 @@ def _fa_small_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, nomax=False):
     logits = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale  # [nb, S, S]
-    p = _softmax_rows(logits, nomax)
+    p = _softmax_rows(logits, nomax or guard)
     out = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     o_ref[...] = out.astype(o_ref.dtype)
+    if guard:
+        # non-finite probs (exp overflow / 0-denominator) propagate into
+        # the fp32 output tile — one reduce catches every hazard case
+        bad = jnp.logical_not(jnp.all(jnp.abs(out) < jnp.inf))
+        f_ref[...] = jnp.broadcast_to(bad.astype(jnp.float32), f_ref.shape)
 
 
 def _small_attention(q, k, v):
     """[B,S,H,D] self-attention for S ≤ ~640 via the batched-rows kernel."""
     b, s, h, d = q.shape
     scale = d**-0.5
-    nomax = os.environ.get("MOCA_TPU_FA_NOMAX", "0") == "1"
+    mode = _softmax_mode()
     bh = b * h
 
     def fold(t):
@@ -209,22 +260,41 @@ def _small_attention(q, k, v):
     while bh % nb:
         nb -= 1
     grid = (bh // nb,)
-    out = pl.pallas_call(
-        functools.partial(_fa_small_kernel, scale=scale, nomax=nomax),
-        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0)),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bh * s * s * d,
-            bytes_accessed=4 * bh * s * d * q.dtype.itemsize,
-            transcendentals=bh * s * s,
-        ),
-    )(fold(q), fold(k), fold(v))
+    blk = pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0))
+    cost = pl.CostEstimate(
+        flops=4 * bh * s * s * d,
+        bytes_accessed=4 * bh * s * d * q.dtype.itemsize,
+        transcendentals=bh * s * s,
+    )
+    fq, fk, fv = fold(q), fold(k), fold(v)
+
+    def call(variant):
+        guard = variant == "guarded"
+        kern = functools.partial(_fa_small_kernel, scale=scale,
+                                 nomax=variant == "nomax", guard=guard)
+        out_shape = jax.ShapeDtypeStruct((bh, s, d), q.dtype)
+        if guard:
+            out_shape = (out_shape,
+                         jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32))
+        return pl.pallas_call(
+            kern,
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[blk, blk, blk],
+            out_specs=(blk, pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)))
+            if guard else blk,
+            cost_estimate=cost,
+        )(fq, fk, fv)
+
+    if mode == "guarded":
+        out, flags = call("guarded")
+        out = jax.lax.cond(
+            jnp.any(flags != 0.0),
+            lambda: call("safe"),
+            lambda: out,
+        )
+    else:
+        out = call(mode)
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
@@ -421,7 +491,9 @@ def fused_qkv_attention(x: jnp.ndarray, wq: jnp.ndarray, wk: jnp.ndarray,
     n, s, c = x.shape
     d = c // heads
     scale = d**-0.5
-    nomax = os.environ.get("MOCA_TPU_FA_NOMAX", "0") == "1"
+    # the S=16 logits tiles are tiny relative to the [nb,S,C] IO — the
+    # nomax saving is negligible here, so "guarded" keeps the exact form
+    nomax = _softmax_mode() == "nomax"
     # rows/program: keep the x block ≈ 16K lane-elements like the lane
     # kernel (655 KB bf16 at S=16); override for sweeps
     nb = _env_int("MOCA_TPU_FA_FUSED_NB") or max(
@@ -494,7 +566,7 @@ def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     d = c // heads
     scale = d**-0.5
     qmask = os.environ.get("MOCA_TPU_FA_PACKEDQM", "1") == "1"
-    nomax = os.environ.get("MOCA_TPU_FA_NOMAX", "0") == "1"
+    nomax = _softmax_mode() == "nomax"  # guarded keeps exact tiny-S softmax
     # 128-lane head-pair blocks where the width allows it (Pallas requires
     # last-dim blocks divisible by 128 — C=320 stays on the full-width
     # kernel); covers C ∈ {512, 640, 1280}
@@ -590,7 +662,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
 
     stat_lanes = (1 if os.environ.get("MOCA_TPU_FA_NARROWSTAT", "0") == "1"
                   else _LANES)
-    nomax = os.environ.get("MOCA_TPU_FA_NOMAX", "0") == "1"
+    mode = _softmax_mode()
+    nomax = mode == "nomax"
     if os.environ.get("MOCA_TPU_FA_ONEPASS", "0") == "1" and nkv == 1:
         out = pl.pallas_call(
             functools.partial(_fa_onepass_kernel, scale=scale, nomax=nomax),
@@ -614,8 +687,6 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
         )(qt, kt, vt)
         return out.transpose(0, 2, 1, 3)
     grid = (b, h, nq, nkv)
-    kernel = functools.partial(_fa_kernel, scale=scale, nkv=nkv,
-                               stat_lanes=stat_lanes, nomax=nomax)
 
     # only the kv axis carries state (online softmax); declaring the rest
     # parallel lets Mosaic pipeline across programs (perf sweep knobs)
@@ -626,30 +697,61 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     if os.environ.get("MOCA_TPU_FA_INFUSE", "0") == "1":
         cp_kwargs["allow_input_fusion"] = [True, True, True]
 
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
-        grid=grid,
-        compiler_params=pltpu.CompilerParams(**cp_kwargs) if cp_kwargs
-        else None,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
-            pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
-        scratch_shapes=[
-            # nomax never touches the running max — allocate the minimum
-            # tile instead of [bq, lanes] (frees ~650 KB VMEM at bq=1280)
-            pltpu.VMEM((8, stat_lanes) if nomax else (bq, stat_lanes),
-                       jnp.float32),  # running max
-            pltpu.VMEM((bq, stat_lanes), jnp.float32),  # running denom
-            pltpu.VMEM((bq, d), jnp.float32),  # output accumulator
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * sq * sk * d,
-            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
-            transcendentals=b * h * sq * sk,
-        ),
-    )(qt, kt, vt)
+    o_spec = pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0))
+    cost = pl.CostEstimate(
+        flops=4 * b * h * sq * sk * d,
+        bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+        transcendentals=b * h * sq * sk,
+    )
+
+    def call(variant):
+        guard = variant == "guarded"
+        no_max = variant in ("nomax", "guarded")
+        kernel = functools.partial(_fa_kernel, scale=scale, nkv=nkv,
+                                   stat_lanes=stat_lanes, nomax=no_max,
+                                   guard=guard)
+        out_shape = jax.ShapeDtypeStruct(qt.shape, q.dtype)
+        out_specs = o_spec
+        if guard:
+            out_shape = (out_shape, jax.ShapeDtypeStruct(
+                (b, h, nq, 8, 128), jnp.float32))
+            out_specs = (o_spec, pl.BlockSpec(
+                (1, 1, 1, 8, 128), lambda b_, h_, i, j: (b_, h_, i, 0, 0)))
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=grid,
+            compiler_params=pltpu.CompilerParams(**cp_kwargs) if cp_kwargs
+            else None,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, d),
+                             lambda b_, h_, i, j: (b_, h_, i, 0)),
+                pl.BlockSpec((1, 1, bkv, d),
+                             lambda b_, h_, i, j: (b_, h_, j, 0)),
+                pl.BlockSpec((1, 1, bkv, d),
+                             lambda b_, h_, i, j: (b_, h_, j, 0)),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=[
+                # nomax never touches the running max — allocate the minimum
+                # tile instead of [bq, lanes] (frees ~650 KB VMEM at bq=1280)
+                pltpu.VMEM((8, stat_lanes) if no_max else (bq, stat_lanes),
+                           jnp.float32),  # running max
+                pltpu.VMEM((bq, stat_lanes), jnp.float32),  # running denom
+                pltpu.VMEM((bq, d), jnp.float32),  # output accumulator
+            ],
+            cost_estimate=cost,
+        )(qt, kt, vt)
+
+    if mode == "guarded":
+        out, flags = call("guarded")
+        # exact-safe: re-run the max-shifted kernel iff any fp32 output
+        # element came out non-finite (never on real attention inputs)
+        out = jax.lax.cond(
+            jnp.any(flags != 0.0),
+            lambda: call("safe"),
+            lambda: out,
+        )
+    else:
+        out = call(mode)
     return out.transpose(0, 2, 1, 3)

@@ -17,10 +17,42 @@ then a single fused elementwise normalize pass.
 from __future__ import annotations
 
 import math
+import os
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+def _stat_sums(flat: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel (Σx, Σx²) over the spatial axis of [N, M, C] fp32.
+
+    MOCA_TPU_GN_STAT selects the reduction strategy (perf experiments on
+    the ~0.42 s/frame GN/LN stat+relayout block, docs/PERF.md headroom
+    item 1 — measured receipts there):
+
+      * "" / "vpu" (default) — plain jnp.sum pair; XLA fuses both reduces
+        (and the bf16→fp32 cast) into one pass over the activation.
+      * "dot"  — ride the MXU instead: Σx and Σx² as ones-matvecs over M.
+        Changes which unit does the reduction and what layout the fusion
+        wants on x.
+      * "stack" — a single stacked reduce (one jnp.sum over a [N,2,M,C]
+        view) — forces ONE reduction op at the HLO level.
+    """
+    mode = os.environ.get("MOCA_TPU_GN_STAT", "").lower()
+    if mode == "dot":
+        ones = jnp.ones((flat.shape[1],), jnp.float32)
+        s1 = jax.lax.dot_general(ones, flat, (((0,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        s2 = jax.lax.dot_general(ones, flat * flat,
+                                 (((0,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return s1, s2
+    if mode == "stack":
+        stacked = jnp.stack([flat, flat * flat], axis=1)  # [N, 2, M, C]
+        s = jnp.sum(stacked, axis=2)  # [N, 2, C]
+        return s[:, 0], s[:, 1]
+    return jnp.sum(flat, axis=1), jnp.sum(flat * flat, axis=1)
 
 
 class _ScaleBias(nn.Module):
@@ -80,9 +112,9 @@ class GroupNorm32(nn.Module):
         x32 = x.astype(jnp.float32)
         flat = x32.reshape(n, m, c)
 
-        # stage 1: per-channel sums over spatial (lanes = channels)
-        s1 = jnp.sum(flat, axis=1)            # [N, C]
-        s2 = jnp.sum(flat * flat, axis=1)     # [N, C]
+        # stage 1: per-channel sums over spatial (lanes = channels);
+        # strategy env-selectable for perf experiments (see _stat_sums)
+        s1, s2 = _stat_sums(flat)             # [N, C] each
         # stage 2: tiny per-group combine
         g1 = s1.reshape(n, groups, gsize).sum(-1)   # [N, G]
         g2 = s2.reshape(n, groups, gsize).sum(-1)

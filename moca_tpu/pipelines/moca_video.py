@@ -196,10 +196,11 @@ class MoCAVideoPipeline:
             self.model.decode_single(heads, params=vae_params), -1.0, 1.0)
 
     # ------------------------------------------------------------------
-    def _base_latents(self, prompt: str, key: jax.Array, latent_hw,
+    def _base_latents(self, prompts, key: jax.Array, latent_hw,
                       latents_dir: Optional[str]) -> jnp.ndarray:
         """Base sampling with the reference's latent cache/resume contract
-        (videocrafter_main.py:201-209): skip when cached."""
+        (videocrafter_main.py:201-209): skip when cached. With B>1 prompts
+        the cache file holds the whole [B, T, h, w, C] batch."""
         cache = None
         if latents_dir:
             os.makedirs(latents_dir, exist_ok=True)
@@ -207,12 +208,14 @@ class MoCAVideoPipeline:
                 latents_dir, f"{self.num_inference_steps}.npz")
         if cache and os.path.exists(cache):
             data = np.load(cache)
-            return jnp.asarray(data["latents"])
+            cached = jnp.asarray(data["latents"])
+            if cached.shape[0] == len(prompts):
+                return cached
         # self.base already carries the identical schedule
         # (ddim_num_steps=f·n, same eta/use_scale) — reusing it keeps the
         # jitted DDIM scan cached across prompts instead of recompiling.
         latents, x_T = self.base.sample_latents(
-            prompt, key, latent_shape=latent_hw + (4,),
+            prompts, key, latent_shape=latent_hw + (4,),
             frames=self.video_length)
         if cache:
             np.savez(cache, latents=np.asarray(latents), x_T=np.asarray(x_T))
@@ -221,7 +224,7 @@ class MoCAVideoPipeline:
     # ------------------------------------------------------------------
     def __call__(
         self,
-        prompt: str,
+        prompt,  # str | Sequence[str]: B>1 = batched-prompt data parallel
         key: jax.Array,
         cond_image: Optional[np.ndarray] = None,   # [h, w, C] latent-res
         conditioned_prompt: Optional[str] = None,  # appended context tokens
@@ -254,19 +257,43 @@ class MoCAVideoPipeline:
         the following iteration and its masks land two iterations later;
         `seg_async=False` serializes detector and device with a
         one-iteration lag. Ignored when DAVIS `masks` are given (the
-        reference's precedence, ddim.py:565-606)."""
+        reference's precedence, ddim.py:565-606).
+
+        Batched prompts (prompt = sequence of B strings): the B independent
+        streams ride one queue [B, Q, h, w, C] and one U-Net batch per
+        iteration — the `dp` mesh axis does real work in a single process
+        (the reference's DP is process-level slicing, videocrafter_main.py:
+        180-181 + ddp_wrapper.py). Noise is shared across the batch
+        (ddim.shared_normal), so the run is bit-identical to B separate
+        B=1 runs with the same key. cond_image/gamma are shared; returns a
+        list of B frame-lists. DAVIS masks, multiprompts, mask_provider and
+        viz require B=1 (they carry per-stream host state); frame_callback
+        sees flat (iteration-major, prompt-minor) frame indices."""
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        B = len(prompts)
+        if B > 1:
+            unsupported = [n for n, v in [
+                ("masks", masks), ("davis_frames", davis_frames),
+                ("clean_latents", clean_latents),
+                ("multiprompts", multiprompts),
+                ("mask_provider", mask_provider), ("viz", viz)] if v is not None]
+            if unsupported:
+                raise ValueError(
+                    f"batched prompts (B={B}) do not support {unsupported}; "
+                    "run those modes per-prompt (B=1)")
         h, w = height // 8, width // 8
         k_base, k_queue, k_fifo = jax.random.split(key, 3)
 
         # 1. conditioning
-        ctx = self.base.encode_prompts([prompt])
+        ctx = self.base.encode_prompts(prompts)
         ctx2 = None
         if conditioned_prompt:
             # videocrafter_main.py:210-211 + DiffusionWrapper crossattn
             # concat (ddpm3d.py:710-712): token-axis concatenation
             ctx2 = self.base.encode_prompts([conditioned_prompt])
-            ctx = jnp.concatenate([ctx, ctx2], axis=1)
-        uc = (self.base.uncond_context(1, like=ctx)
+            ctx = jnp.concatenate(
+                [ctx, jnp.broadcast_to(ctx2, (B,) + ctx2.shape[1:])], axis=1)
+        uc = (self.base.uncond_context(B, like=ctx)
               if self.guidance_scale != 1.0 else None)
         if uc is not None and ctx.shape[1] != uc.shape[1]:
             reps = ctx.shape[1] // uc.shape[1]
@@ -290,7 +317,7 @@ class MoCAVideoPipeline:
         # 2. base latents (or DAVIS-encoded real video)
         if clean_latents is None:
             clean_latents = self._base_latents(
-                prompt, k_base, (h, w), latents_dir)
+                prompts, k_base, (h, w), latents_dir)
 
         # 3. diagonal queue
         latents = prepare_queue(self.sch, self.plan, clean_latents, k_queue)
@@ -316,7 +343,7 @@ class MoCAVideoPipeline:
             # slots from each iteration's pred_x0
             mask_queue = jnp.zeros(
                 (1, self.plan.queue_length, h, w, 1), jnp.float32)
-            seg_target = target if target is not None else prompt
+            seg_target = target if target is not None else prompts[0]
             seg_frame_counter = 0
             seg_pending_pred = None  # seg_async: pred awaiting the provider
 
@@ -337,6 +364,10 @@ class MoCAVideoPipeline:
         iter_keys = jax.random.split(k_fifo, total)
         j = 0
         pending_heads: List = []
+        # each iteration contributes B head frames; a full flush is the
+        # smallest multiple of B ≥ decode_batch so every flush (and the
+        # padded final one) hits the SAME jitted decode shape
+        flush_rows = B * -(-self.decode_batch // B)
 
         # --- mid-FIFO resume (snapshot = queue + masks + emitted frames +
         # open-vocab provider state) ---
@@ -390,12 +421,12 @@ class MoCAVideoPipeline:
                 return
             batch = jnp.concatenate(pending_heads, axis=0)
             k = batch.shape[0]
-            if k < self.decode_batch:
+            if k < flush_rows:
                 # pad the final partial batch up to the jitted shape — a
                 # second batch-k VAE program would cost another full
                 # remote compile (~1 min) for one flush
                 batch = jnp.concatenate(
-                    [batch, jnp.repeat(batch[-1:], self.decode_batch - k,
+                    [batch, jnp.repeat(batch[-1:], flush_rows - k,
                                        axis=0)], axis=0)
             with timer.stage("decode"):
                 decoded = np.asarray(
@@ -456,7 +487,7 @@ class MoCAVideoPipeline:
             # heads stay on device; decode in batches (async dispatch keeps
             # the denoise pipeline ahead of the decodes)
             pending_heads.append(head)
-            if len(pending_heads) >= self.decode_batch:
+            if len(pending_heads) * B >= self.decode_batch:
                 flush()
             if self.checkpoint_every and (i + 1) % self.checkpoint_every == 0:
                 checkpoint(i)
@@ -474,4 +505,8 @@ class MoCAVideoPipeline:
         if ckpt_path and os.path.exists(ckpt_path):
             os.remove(ckpt_path)  # completed — drop the snapshot
         timer.report()  # one JSON line when MOCA_TPU_PROFILE=1
-        return frames_out
+        if B == 1:
+            return frames_out
+        # regroup the flat (iteration-major, prompt-minor) frame stream
+        # into one frame list per prompt
+        return [frames_out[b::B] for b in range(B)]

@@ -85,16 +85,21 @@ class T2VPipeline:
         return ddim_sample(eps_fn, self.sch, shape, key)
 
     def sample_latents(
-        self, prompt: str, key: jax.Array,
+        self, prompt, key: jax.Array,
         latent_shape: Tuple[int, int, int] = (40, 64, 4), frames: int = 16,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (clean_latents, initial_noise) — both cached by the MoCA
-        pipeline (the reference saves 0.pt / {S}.pt, ddim.py:233-250)."""
-        ctx = self.encode_prompts([prompt])
-        uc = (self.uncond_context(1, like=ctx)
+        pipeline (the reference saves 0.pt / {S}.pt, ddim.py:233-250).
+
+        prompt: one string or a sequence of B prompts — B>1 samples all
+        prompts in ONE batched scan (noise shared across the batch, see
+        ddim.shared_normal: bit-identical to B separate runs)."""
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        ctx = self.encode_prompts(prompts)
+        uc = (self.uncond_context(len(prompts), like=ctx)
               if self.guidance_scale != 1.0 else None)
         h, w, c = latent_shape
-        shape = (1, frames, h, w, c)
+        shape = (len(prompts), frames, h, w, c)
         return self._sample_latents(self.model.unet_params, (ctx, uc), key,
                                     shape)
 

@@ -23,6 +23,34 @@ import jax.numpy as jnp
 from moca_tpu.schedule import DiffusionSchedule
 
 
+def shared_normal(key, shape, dtype=jnp.float32) -> jnp.ndarray:
+    """Normal noise SHARED across the leading batch axis.
+
+    Batched prompts (B>1 data parallelism) must reproduce the B=1 stream
+    bit-for-bit: the reference's DDP ranks all call seed_everything with the
+    same seed (videocrafter_main.py:62, ddp_wrapper.py), so concurrently
+    processed prompts consume identical noise. Drawing [1, ...] and
+    broadcasting keeps B=1 draws bit-identical to before and makes one
+    B-batched run equal B single-prompt runs."""
+    one = jax.random.normal(key, (1,) + tuple(shape[1:]), dtype)
+    return jnp.broadcast_to(one, shape)
+
+
+def expand_context(context: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """Per-row conditioning for a flat window batch.
+
+    FIFO flattens windows ROW-MAJOR over (window, prompt) — see
+    fifo.fifo_step — so a [B, L, D] multi-prompt context tiles along axis 0
+    (prompt-minor) to cover rows = R·B; a [1, L, D] context broadcasts."""
+    bc = context.shape[0]
+    if bc == rows:
+        return context
+    if bc == 1:
+        return jnp.broadcast_to(context, (rows,) + context.shape[1:])
+    assert rows % bc == 0, (rows, bc)
+    return jnp.tile(context, (rows // bc,) + (1,) * (context.ndim - 1))
+
+
 def make_cfg_eps_fn(
     unet_apply: Callable,
     params,
@@ -58,14 +86,16 @@ def make_cfg_eps_fn(
     def temporal_term(x, t_frames):
         if temporal_guidance_scale is None:
             return None
-        e_t = unet_apply(params, x, t_frames, context, fps)
-        e_i = unet_apply(params, x, t_frames, context, fps,
+        ctx = expand_context(context, x.shape[0])
+        e_t = unet_apply(params, x, t_frames, ctx, fps)
+        e_i = unet_apply(params, x, t_frames, ctx, fps,
                          no_temporal_attn=True)
         return temporal_guidance_scale * (e_t - e_i)
 
     def eps_fn(x, t_frames):
         if uncond_context is None or guidance_scale == 1.0:
-            eps = unet_apply(params, x, t_frames, context, fps)
+            eps = unet_apply(params, x, t_frames,
+                             expand_context(context, x.shape[0]), fps)
             tt = temporal_term(x, t_frames)
             return eps if tt is None else eps + tt
         b = x.shape[0]
@@ -76,8 +106,8 @@ def make_cfg_eps_fn(
         x2 = jnp.stack([x, x], axis=1).reshape((2 * b,) + x.shape[1:])
         t2 = jnp.stack([t_frames, t_frames], axis=1).reshape(
             (2 * b,) + t_frames.shape[1:])
-        ctx_c = jnp.broadcast_to(context, (b,) + context.shape[1:])
-        ctx_u = jnp.broadcast_to(uncond_context, (b,) + uncond_context.shape[1:])
+        ctx_c = expand_context(context, b)
+        ctx_u = expand_context(uncond_context, b)
         ctx2 = jnp.stack([ctx_c, ctx_u], axis=1).reshape(
             (2 * b,) + context.shape[1:])
         eps = unet_apply(params, x2, t2, ctx2, fps)
@@ -139,7 +169,7 @@ def ddim_sample(
     b, t = shape[0], shape[1]
     key_init, key_steps = jax.random.split(key)
     if x_T is None:
-        x_T = jax.random.normal(key_init, shape, jnp.float32)
+        x_T = shared_normal(key_init, shape)
     S = sch.num_ddim_steps
     step_keys = jax.random.split(key_steps, S)
 
@@ -149,7 +179,7 @@ def ddim_sample(
         step = sch.ddim_timesteps[index]
         t_frames = jnp.broadcast_to(step, (b, t)).astype(jnp.int32)
         eps = eps_fn(x, t_frames)
-        noise = temperature * jax.random.normal(k, x.shape, jnp.float32)
+        noise = temperature * shared_normal(k, x.shape)
         x_prev, _ = ddim_step_math(sch, x, eps, index, noise)
         return x_prev, None
 
@@ -190,7 +220,7 @@ def ddim_decode(
         step = sch.ddim_timesteps[index]
         t_frames = jnp.broadcast_to(step, (b, t)).astype(jnp.int32)
         eps = eps_fn(x, t_frames)
-        noise = jax.random.normal(k, x.shape, jnp.float32)
+        noise = shared_normal(k, x.shape)
         x_prev, _ = ddim_step_math(sch, x, eps, index, noise)
         return x_prev, None
 

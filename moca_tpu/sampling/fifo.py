@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from moca_tpu import freeinit
-from moca_tpu.sampling.ddim import stochastic_encode
+from moca_tpu.sampling.ddim import shared_normal, stochastic_encode
 from moca_tpu.sampling.moca import MoCAConfig, moca_window_step
 from moca_tpu.schedule import DiffusionSchedule
 
@@ -137,7 +137,7 @@ def prepare_queue(
     """Build the diagonal queue (funcs.py:21-82). Returns [B, Q, h, w, C]."""
     frame_idx, idx = queue_frame_indices(plan, clean_latents.shape[1])
     frames = clean_latents[:, frame_idx]  # [B, Q, h, w, C]
-    noise = jax.random.normal(key, frames.shape, jnp.float32).astype(frames.dtype)
+    noise = shared_normal(key, frames.shape).astype(frames.dtype)
     return stochastic_encode(sch, frames, jnp.asarray(idx), noise)
 
 
@@ -161,8 +161,7 @@ def shift_queue(
     no FreeInit mixing and no anchor.
     """
     if tail_mode == "plain":
-        tail = jax.random.normal(
-            key, latents[:, :1].shape, jnp.float32).astype(latents.dtype)
+        tail = shared_normal(key, latents[:, :1].shape).astype(latents.dtype)
         return jnp.concatenate([latents[:, 1:], tail], axis=1)
     if tail_mode != "freeinit":
         raise ValueError(f"unknown tail_mode {tail_mode!r}")
@@ -172,7 +171,7 @@ def shift_queue(
     # (B,C,1,H,W) path; channels-last here so the "T" axis is synthetic.
     b, h, w, c = anchor.shape
     lpf = freeinit.get_freq_filter((1, h, w), filter_type, 1, d_s, d_t)
-    noise = jax.random.normal(key, anchor.shape, jnp.float32).astype(anchor.dtype)
+    noise = shared_normal(key, anchor.shape).astype(anchor.dtype)
     # [B,h,w,C] -> [B,C,1,h,w] for the (T,H,W) fft axes, then back
     a = anchor.transpose(0, 3, 1, 2)[:, :, None]
     n = noise.transpose(0, 3, 1, 2)[:, :, None]

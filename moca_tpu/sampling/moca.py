@@ -40,6 +40,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from moca_tpu.sampling.ddim import shared_normal
 from moca_tpu.schedule import DiffusionSchedule
 
 
@@ -122,7 +123,9 @@ def moca_window_step(
         prev_frame = pred_x0
         pred_preinject = pred_x0
 
-        noise = sigma * jax.random.normal(k, x_i.shape, jnp.float32).astype(x_i.dtype)
+        # noise shared across the prompt batch (ddim.shared_normal: the
+        # reference's DDP ranks seed identically → B>1 ≡ B independent runs)
+        noise = sigma * shared_normal(k, x_i.shape).astype(x_i.dtype)
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
 
         # Masks without a concept image inject zeros in the masked region:

@@ -13,7 +13,12 @@ over an 8-device mesh (virtual CPU devices), compiles it, and reports
     traffic is ~MBs — ICI-negligible vs the ~0.24 s/device of compute).
 
 Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      JAX_PLATFORMS=cpu python scripts/multichip_cost.py [--small]
+      JAX_PLATFORMS=cpu python scripts/multichip_cost.py [--small] [--dp N]
+
+`--dp N` (N ∈ {2,4}): batched-prompt data parallelism — B=N prompts ride
+one queue on a (dp=N, fifo=8/N) mesh, each prompt with its own context
+row (pipelines/moca_video.py batched mode); the partitioned HLO shows the
+dp axis stays collective-free (prompt streams are independent).
 
 `--small` drops model_channels 320→64 (CPU RAM/compile-time relief; the
 collective STRUCTURE is config-independent — same partitioned program
@@ -61,7 +66,7 @@ def _shape_bytes(shape_str: str) -> int:
     return n * _DTYPE_BYTES[dtype]
 
 
-def build_iteration(small: bool):
+def build_iteration(small: bool, dp: int = 1):
     from moca_tpu.models.unet3d import UNet3D, UNetConfig
     from moca_tpu.parallel.mesh import make_mesh, make_sharded_unet_apply
     from moca_tpu.sampling.ddim import make_cfg_eps_fn
@@ -79,7 +84,9 @@ def build_iteration(small: bool):
     f, n = 16, 4
     sch = make_schedule(ddim_num_steps=f * n, ddim_eta=1.0)
     plan = make_fifo_plan(np.asarray(sch.ddim_timesteps), f, n, True)
-    ctx = jnp.zeros((1, 77, ucfg.context_dim), jnp.float32)
+    # dp>1: B independent prompts ride one queue (batched-prompt DP —
+    # pipelines/moca_video.py batched mode); each gets its own context row
+    ctx = jnp.zeros((dp, 77, ucfg.context_dim), jnp.float32)
     uc = jnp.zeros_like(ctx)
     cond_image = jnp.full((H, W, 4), 0.2)
 
@@ -89,7 +96,7 @@ def build_iteration(small: bool):
                              jax.random.PRNGKey(0))
     uparams = jax.tree.map(lambda l: jnp.zeros(l.shape, l.dtype), ushapes)
 
-    mesh = make_mesh((1, 8))
+    mesh = make_mesh((dp, 8 // dp))
 
     def unet_apply(p, xx, tt, cc, fps=16):
         return unet.apply(p, xx, tt, cc, fps=fps)
@@ -104,7 +111,7 @@ def build_iteration(small: bool):
             cond_image=cond_image)
         return shift_queue(new_latents, k2), head
 
-    latents = jnp.zeros((1, plan.queue_length, H, W, 4))
+    latents = jnp.zeros((dp, plan.queue_length, H, W, 4))
     key = jax.random.PRNGKey(4)
     return mesh, iteration, unet_apply, sharded_apply, uparams, latents, key
 
@@ -113,10 +120,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="model_channels 64 (CPU compile relief)")
+    ap.add_argument("--dp", type=int, default=1, choices=(1, 2, 4),
+                    help="prompt-batch data parallelism: mesh (dp, 8/dp), "
+                         "B=dp prompts in one queue")
     args = ap.parse_args()
 
     (mesh, iteration, unet_apply, sharded_apply,
-     uparams, latents, key) = build_iteration(args.small)
+     uparams, latents, key) = build_iteration(args.small, args.dp)
     assert len(jax.devices()) >= 8, "need 8 virtual devices (XLA_FLAGS)"
 
     print("compiling single-device ...", flush=True)

@@ -20,6 +20,20 @@ def test_pick_block():
     assert _pick_block(160) == 32
 
 
+def test_softmax_mode_parsing(monkeypatch):
+    from moca_tpu.ops.flash_attention import _softmax_mode
+
+    monkeypatch.delenv("MOCA_TPU_FA_SOFTMAX", raising=False)
+    monkeypatch.delenv("MOCA_TPU_FA_NOMAX", raising=False)
+    assert _softmax_mode() == "guarded"  # product default
+    monkeypatch.setenv("MOCA_TPU_FA_NOMAX", "1")  # legacy raw-nomax alias
+    assert _softmax_mode() == "nomax"
+    monkeypatch.setenv("MOCA_TPU_FA_SOFTMAX", " Safe ")
+    assert _softmax_mode() == "safe"  # explicit mode wins over the alias
+    monkeypatch.setenv("MOCA_TPU_FA_SOFTMAX", "guarded")
+    assert _softmax_mode() == "guarded"
+
+
 def _check_flash(b, s, h, d):
     from moca_tpu.ops.attention import _xla_attention
     from moca_tpu.ops.flash_attention import flash_attention
@@ -179,6 +193,59 @@ def test_flash_matches_xla_tpu(b, s, h, d):
     _check_flash(b, s, h, d)
 
 
+def _check_guarded_fallback(b, s, h, d, kind):
+    """Adversarial inputs where raw nomax overflows/underflows: the guarded
+    mode must detect the non-finite fp32 output and re-run the exact
+    max-shifted kernel — BIT-IDENTICAL to running the safe mode directly.
+
+    (No XLA comparison here: at |logit| ~ 2·10⁴ the kernels' bf16 q-scaling
+    legitimately diverges from XLA's fp32 logits — safe and guarded diverge
+    by the same amount, which is exactly what the bit-equality pins.)"""
+    import os
+
+    from moca_tpu.ops.flash_attention import flash_attention
+
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (b, s, h, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, s, h, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, s, h, d), jnp.bfloat16)
+    if kind == "overflow":
+        # sharp head: max base-2 logit ≈ 40·40·d·scale·log2e ≫ 127
+        q = q.at[0].set(jnp.abs(q[0]) + 40.0)
+        k = k.at[0].set(jnp.abs(k[0]) + 40.0)
+    else:  # all-rows underflow: exp2(-300·…) flushes to 0 → l = 0 → 0/0
+        q = jnp.full_like(q, -40.0)
+        k = jnp.full_like(k, 40.0)
+
+    os.environ["MOCA_TPU_FA_SOFTMAX"] = "nomax"
+    try:
+        raw = flash_attention(q, k, v).astype(jnp.float32)
+        assert not bool(jnp.all(jnp.isfinite(raw))), (
+            "adversarial input no longer trips raw nomax — test is stale")
+        os.environ["MOCA_TPU_FA_SOFTMAX"] = "safe"
+        ref = flash_attention(q, k, v)
+        os.environ["MOCA_TPU_FA_SOFTMAX"] = "guarded"
+        out = flash_attention(q, k, v)
+    finally:
+        del os.environ["MOCA_TPU_FA_SOFTMAX"]
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+    assert bool(jnp.all(out == ref)), "fallback is not bit-identical to safe"
+
+
+GUARD_CASES = [
+    (2, 2560, 5, 64, "overflow"),   # flash path, full-KV under tuned jit
+    (2, 2560, 5, 64, "underflow"),
+    (2, 640, 10, 64, "overflow"),   # small-S batched-rows path
+    (2, 160, 20, 64, "underflow"),
+]
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+@pytest.mark.parametrize("b,s,h,d,kind", GUARD_CASES)
+def test_guarded_softmax_fallback_tpu(b, s, h, d, kind):
+    _check_guarded_fallback(b, s, h, d, kind)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
 @pytest.mark.parametrize("lane", [False, True])
 @pytest.mark.parametrize("n,s,h,d", PACKED_CASES)
@@ -197,6 +264,9 @@ if __name__ == "__main__":
     for b, s_, h, d in CASES:
         _check_flash(b, s_, h, d)
         print(f"ok flash s={s_}")
+    for b, s_, h, d, kind in GUARD_CASES:
+        _check_guarded_fallback(b, s_, h, d, kind)
+        print(f"ok guarded fallback s={s_} {kind}")
     for n, s_, h, d in PACKED_CASES:
         for lane in (False, True):
             _check_packed(n, s_, h, d, lane=lane)

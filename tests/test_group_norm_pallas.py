@@ -30,3 +30,23 @@ def test_groupnorm_act_bf16():
     y = gn.apply(params, x)
     assert y.dtype == jnp.bfloat16
     assert bool(jnp.isfinite(y.astype(jnp.float32)).all())
+
+
+def test_groupnorm_stat_variants_match(monkeypatch):
+    """MOCA_TPU_GN_STAT strategies (vpu / dot / stack) are numerically
+    interchangeable — they re-route the SAME fp32 Σx/Σx² through different
+    units/fusions (perf experiment, docs/PERF.md headroom item 1)."""
+    from moca_tpu.ops.norms import GroupNorm32
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, 5, 7, 64), jnp.bfloat16)
+    gn = GroupNorm32(32, act="silu")
+    params = gn.init(jax.random.PRNGKey(3), x)
+
+    outs = {}
+    for mode in ("", "dot", "stack"):
+        monkeypatch.setenv("MOCA_TPU_GN_STAT", mode)
+        jax.clear_caches()  # env branch is trace-time
+        outs[mode] = np.asarray(gn.apply(params, x), np.float32)
+    monkeypatch.delenv("MOCA_TPU_GN_STAT")
+    np.testing.assert_allclose(outs["dot"], outs[""], atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(outs["stack"], outs[""], atol=2e-6, rtol=1e-5)

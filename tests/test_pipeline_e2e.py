@@ -86,6 +86,61 @@ def test_moca_pipeline_davis_mode(tiny_model):
     assert all(np.isfinite(f).all() for f in frames)
 
 
+def test_moca_pipeline_batched_prompts_match_single(tiny_model):
+    """Batched-prompt DP: B=2 prompts riding one queue reproduce two B=1
+    runs. Noise is shared across the prompt batch (ddim.shared_normal)
+    exactly as the reference's identically-seeded DDP ranks consume
+    identical noise streams (videocrafter_main.py:62, ddp_wrapper.py).
+
+    Tolerance, not bit-equality: XLA compiles DIFFERENT programs for the
+    B·R vs R U-Net batch (fusion/tiling choices change with the leading
+    dim), so per-sample float accumulation differs at the ~1e-06 level —
+    same-program runs (e.g. sharded vs unsharded at fixed batch,
+    test_pipeline_sharding) are the ones that pin bit-equality."""
+    from test_models import randomize_zero_params
+
+    pipe = MoCAVideoPipeline(
+        tiny_model, HashTokenizer(), video_length=F, num_partitions=N,
+        new_video_length=3, guidance_scale=7.5)
+    key = jax.random.PRNGKey(7)
+    h, w = HEIGHT // 8, WIDTH // 8
+    cond_image = np.full((h, w, 4), 0.2, np.float32)
+    prompts = ["a mouse", "a spotted dog"]
+    # randomize the zero-initialized output layers: at plain random init
+    # the U-Net is an identity function and prompts have NO effect (see
+    # CLAUDE.md / test_models) — the distinctness check below needs a
+    # context-sensitive model
+    orig = tiny_model.unet_params
+    tiny_model.unet_params = randomize_zero_params(orig)
+    try:
+        batched = pipe(prompts, key, cond_image=cond_image, gamma=0.5,
+                       height=HEIGHT, width=WIDTH)
+        assert isinstance(batched, list) and len(batched) == 2
+        for p, bstream in zip(prompts, batched):
+            single = pipe(p, key, cond_image=cond_image, gamma=0.5,
+                          height=HEIGHT, width=WIDTH)
+            assert len(bstream) == len(single)
+            for bf, sf in zip(bstream, single):
+                np.testing.assert_allclose(bf, sf, atol=1e-4)
+        # the batch really carries DISTINCT prompt streams (shared noise
+        # must not collapse them into one)
+        assert np.abs(np.asarray(batched[0][0])
+                      - np.asarray(batched[1][0])).max() > 1e-3
+    finally:
+        tiny_model.unet_params = orig
+
+
+def test_moca_pipeline_batched_prompts_reject_host_state_modes(tiny_model):
+    """Per-stream host-state modes (DAVIS masks, multiprompts, open-vocab
+    provider, viz) are B=1 only — the rejection is explicit."""
+    pipe = MoCAVideoPipeline(
+        tiny_model, HashTokenizer(), video_length=F, num_partitions=N,
+        new_video_length=2, guidance_scale=7.5)
+    with pytest.raises(ValueError, match="batched prompts"):
+        pipe(["a", "b"], jax.random.PRNGKey(0), height=HEIGHT, width=WIDTH,
+             multiprompts=[("a", 2), ("b", 2)])
+
+
 def test_moca_pipeline_no_lookahead(tiny_model, tmp_path):
     """funcs.py:306-354 non-lookahead branch: n windows, head slot 0."""
     pipe = MoCAVideoPipeline(
