@@ -44,6 +44,10 @@ def build_parser():
                    "swallows the flag, see DECISIONS.md)")
     p.add_argument("--n_samples", type=int, default=1,
                    help="samples per prompt (inference.py:27)")
+    p.add_argument("--bs", type=int, default=1,
+                   help="prompts per batched sampling call "
+                        "(inference.py:30,92-101); base mode only — i2v "
+                        "and FreeInit stay per-prompt")
     p.add_argument("--height", type=int, default=320)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--frames", type=int, default=16)
@@ -128,6 +132,29 @@ def main(args):
         ]
 
     os.makedirs(args.savedir, exist_ok=True)
+
+    if args.bs > 1:
+        # batched prompt rounds (inference.py:92-101): bs prompts ride one
+        # DDIM scan / one U-Net batch. Batched-prompt DP composes with the
+        # process shard above exactly like the reference's bs × DDP.
+        assert args.mode == "base" and args.freeinit_iters <= 1 and \
+            args.n_samples == 1, "--bs>1 supports plain base sampling"
+        for r0 in range(0, len(shard), args.bs):
+            chunk = shard[r0 : r0 + args.bs]
+            t0 = time.time()
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(args.seed), args.rank * per + r0)
+            videos = pipe(chunk, key, height=args.height, width=args.width,
+                          frames=args.frames, use_ddpm=args.ddim_steps <= 0)
+            for prompt, video in zip(chunk, videos):
+                name = prompt[:100].replace("/", "_")
+                save_video([np.asarray(v) for v in video],
+                           os.path.join(args.savedir, f"{name}.mp4"),
+                           fps=args.savefps)
+            log.info("batch [%d:%d]/%d %.1fs", r0, r0 + len(chunk),
+                     len(shard), time.time() - t0)
+        return
+
     for i, prompt in enumerate(shard):
         t0 = time.time()
         img_tokens = None

@@ -113,10 +113,11 @@ class T2VPipeline:
         latent_shape: Tuple[int, int, int] = (40, 64, 4), frames: int = 16,
     ):
         """Sample with a pre-built context (e.g. text‖image token concat for
-        the i2v variant, inference.py:110-117)."""
+        the i2v variant, inference.py:110-117). Batch = ctx rows."""
         h, w, c = latent_shape
         return self._sample_latents(
-            self.model.unet_params, (ctx, uc), key, (1, frames, h, w, c))
+            self.model.unet_params, (ctx, uc), key,
+            (ctx.shape[0], frames, h, w, c))
 
     @functools.partial(tuned_jit, static_argnums=(0, 4))
     def _sample_latents_ddpm(self, params, contexts, key, shape):
@@ -131,32 +132,44 @@ class T2VPipeline:
             temporal_guidance_scale=self.temporal_cfg_scale)
         return ddpm_sample(eps_fn, self.sch, shape, key)
 
-    def __call__(self, prompt: str, key: jax.Array,
+    def __call__(self, prompt, key: jax.Array,
                  height: int = 320, width: int = 512, frames: int = 16,
                  image_tokens: Optional[jnp.ndarray] = None,
                  use_ddpm: bool = False):
         """prompt → video frames [T, H, W, 3] float in [-1, 1].
 
-        image_tokens: optional [1, N, context_dim] i2v tokens appended to the
-        text context (and zero-image tokens to the uncond context, matching
-        batch_ddim_sampling's uc_img, funcs.py:136-141).
+        prompt: one string, or a sequence of B prompts sampled in ONE
+        batched DDIM scan (the reference's --bs batching,
+        inference.py:30,92-101; noise is shared across the batch like its
+        same-seed DDP ranks) — returns [B, T, H, W, 3] for a sequence.
+        image_tokens: optional [B, N, context_dim] i2v tokens appended to
+        the text context (and zero-image tokens to the uncond context,
+        matching batch_ddim_sampling's uc_img, funcs.py:136-141); a
+        [1, N, D] token block broadcasts over the prompt batch.
         use_ddpm: full ancestral sampling instead of DDIM."""
-        ctx = self.encode_prompts([prompt])
-        uc = (self.uncond_context(1, like=ctx)
+        single = isinstance(prompt, str)
+        prompts = [prompt] if single else list(prompt)
+        b = len(prompts)
+        ctx = self.encode_prompts(prompts)
+        uc = (self.uncond_context(b, like=ctx)
               if self.guidance_scale != 1.0 else None)
         if image_tokens is not None:
+            if image_tokens.shape[0] != b:
+                image_tokens = jnp.broadcast_to(
+                    image_tokens, (b,) + image_tokens.shape[1:])
             ctx = jnp.concatenate([ctx, image_tokens], axis=1)
             if uc is not None:
                 uc = jnp.concatenate(
                     [uc, jnp.zeros_like(image_tokens)], axis=1)
-        shape = (1, frames, height // 8, width // 8, 4)
+        shape = (b, frames, height // 8, width // 8, 4)
         if use_ddpm:
             latents = self._sample_latents_ddpm(
                 self.model.unet_params, (ctx, uc), key, shape)
         else:
             latents, _ = self.sample_latents_from_context(
                 ctx, uc, key, latent_shape=shape[2:], frames=frames)
-        return self._decode(self.model.vae_params, latents)[0]
+        decoded = self._decode(self.model.vae_params, latents)
+        return decoded[0] if single else decoded
 
     # ------------------------------------------------------------------
     def sample_with_freeinit(

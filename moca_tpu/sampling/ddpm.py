@@ -14,6 +14,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from moca_tpu.sampling.ddim import shared_normal
 from moca_tpu.schedule import DiffusionSchedule
 
 
@@ -70,8 +71,9 @@ def ddpm_sample(
     """
     b, t_frames_n = shape[0], shape[1]
     key_init, key_steps = jax.random.split(key)
-    x = x_T if x_T is not None else jax.random.normal(key_init, shape,
-                                                      jnp.float32)
+    # noise shared across the prompt batch (ddim.shared_normal: B>1
+    # batched prompts reproduce B same-seed single runs)
+    x = x_T if x_T is not None else shared_normal(key_init, shape)
     T = sch.num_timesteps
     keys = jax.random.split(key_steps, T)
 
@@ -88,7 +90,7 @@ def ddpm_sample(
             x0 = jnp.clip(x0, -1.0, 1.0)
         mean, _, log_var = q_posterior(sch, x0, x, t)
         # no noise at t == 0 (p_sample's nonzero_mask)
-        noise = jax.random.normal(k, x.shape, jnp.float32)
+        noise = shared_normal(k, x.shape)
         nonzero = (t > 0).astype(jnp.float32)
         x_prev = mean + nonzero * jnp.exp(0.5 * log_var) * noise
         return x_prev, None

@@ -78,6 +78,15 @@ def test_inference_contiguous_prompt_sharding(tiny_setup, monkeypatch,
     assert sorted(os.listdir(savedir)) == ["a green frog.mp4"]
 
 
+def test_inference_bs_batched_rounds(tiny_setup, monkeypatch, tmp_path):
+    """--bs 2 (inference.py:30,92-101): prompts ride batched sampling
+    rounds — 3 prompts → rounds of 2 + 1, one mp4 per prompt either way."""
+    savedir = _run(["--bs", "2"], tiny_setup, monkeypatch, tmp_path)
+    vids = sorted(os.listdir(savedir))
+    assert vids == ["a blue bird.mp4", "a green frog.mp4", "a red fox.mp4"]
+    assert all((savedir / v).stat().st_size > 0 for v in vids)
+
+
 def test_inference_n_samples_suffixes(tiny_setup, monkeypatch, tmp_path):
     savedir = _run(["--n_samples", "2", "--num_processes", "3"],
                    tiny_setup, monkeypatch, tmp_path)

@@ -47,6 +47,21 @@ def test_t2v_pipeline(tiny_model):
     assert np.isfinite(np.asarray(video)).all()
 
 
+def test_t2v_pipeline_batched_prompts(tiny_model):
+    """The reference's --bs batching (inference.py:30,92-101): B prompts
+    in one DDIM scan → [B, T, H, W, 3]; each row ≈ its single-prompt run
+    (same shared noise; tolerance for cross-batch-size XLA programs)."""
+    pipe = T2VPipeline.build(
+        tiny_model, HashTokenizer(), num_steps=F * N, guidance_scale=7.5)
+    key = jax.random.PRNGKey(8)
+    videos = pipe(["a cat", "a dog"], key,
+                  height=HEIGHT, width=WIDTH, frames=F)
+    assert videos.shape == (2, F, HEIGHT, WIDTH, 3)
+    single = pipe("a cat", key, height=HEIGHT, width=WIDTH, frames=F)
+    np.testing.assert_allclose(np.asarray(videos[0]), np.asarray(single),
+                               atol=1e-4)
+
+
 def test_moca_pipeline_prompt_mode(tiny_model, tmp_path):
     pipe = MoCAVideoPipeline(
         tiny_model, HashTokenizer(), video_length=F, num_partitions=N,
