@@ -70,10 +70,11 @@ def _softmax_mode() -> str:
                 the [bq, bkv] logits, but fp32 exp2 overflows past a base-2
                 logit of 127 → silent NaN on pathologically sharp heads.
     * guarded (default) — nomax compute + an in-kernel finiteness flag on
-                the fp32 output tile (covers overflow→inf, inf/inf→nan,
-                all-underflow→0/0); a lax.cond re-runs the safe kernel only
-                when flagged. Exact-safe at nomax speed: the flag is one
-                cheap reduce over the [bq, d] accumulator per q block, and
+                the fp32 output tile AND the softmax denominator (the
+                output alone misses denominator-only overflow: every exp
+                finite but Σexp=inf → a finite all-zero output); a lax.cond
+                re-runs the safe kernel only when flagged. Exact-safe at
+                nomax speed: the flags are two cheap reduces per q block, and
                 normal attention never triggers the fallback. Rows whose
                 max base-2 logit lies in (-126, -120) keep subnormal-level
                 precision (≫ bf16 output ulp) without flagging.
@@ -133,15 +134,22 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *refs, scale, nkv,
 
         @pl.when(j == nkv - 1)
         def _finalize_nomax():
-            o32 = acc_ref[:] / l_ref[:, :1]
+            l = l_ref[:, :1]
+            o32 = acc_ref[:] / l
             o_ref[0, 0] = o32.astype(o_ref.dtype)
             if guard:
-                # any overflow/underflow path ends in a non-finite fp32
-                # output element: p=inf → acc or l inf → inf or inf/inf=nan;
-                # all-rows-underflow → l=0 → 0/0=nan. One reduce over the
-                # [bq, d] accumulator tile per q block — ~bkv/d× cheaper
-                # than the logits passes the nomax form saves.
-                bad = jnp.logical_not(jnp.all(jnp.abs(o32) < jnp.inf))
+                # overflow/underflow hazards: p=inf → acc or l inf → o inf
+                # or inf/inf=nan; all-rows-underflow → l=0 → 0/0=nan. The
+                # output check alone misses DENOMINATOR-ONLY overflow (every
+                # p finite but Σp=inf with |v| small → o = finite/inf = 0,
+                # silently wrong), so l's finiteness is flagged explicitly
+                # — any p=inf also drives l=inf, so the l check subsumes
+                # every overflow path. Two cheap reduces per q block
+                # ([bq, d] + [bq, 1]) — ~bkv/d× cheaper than the logits
+                # passes the nomax form saves.
+                bad = jnp.logical_or(
+                    jnp.logical_not(jnp.all(jnp.abs(o32) < jnp.inf)),
+                    jnp.logical_not(jnp.all(l < jnp.inf)))
                 f_ref[0, 0, 0] = jnp.broadcast_to(
                     bad.astype(jnp.float32), f_ref.shape[-2:])
 
@@ -229,15 +237,26 @@ def _fa_small_kernel(q_ref, k_ref, v_ref, o_ref, f_ref=None, *, scale,
     logits = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale  # [nb, S, S]
-    p = _softmax_rows(logits, nomax or guard)
+    if guard:
+        # keep the un-divided exp and its row sum visible: the fp32 output
+        # check alone misses denominator-only overflow (every exp finite
+        # but Σexp=inf → p = finite/inf = 0 → a finite all-zero output);
+        # any exp=inf also drives the sum to inf, so flagging the sum
+        # subsumes every overflow path, and sum=0 (all-underflow) lands as
+        # 0/0=nan in the output check.
+        praw = jnp.exp(logits)
+        denom = jnp.sum(praw, axis=-1, keepdims=True)
+        p = praw / denom
+    else:
+        p = _softmax_rows(logits, nomax)
     out = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     o_ref[...] = out.astype(o_ref.dtype)
     if guard:
-        # non-finite probs (exp overflow / 0-denominator) propagate into
-        # the fp32 output tile — one reduce catches every hazard case
-        bad = jnp.logical_not(jnp.all(jnp.abs(out) < jnp.inf))
+        bad = jnp.logical_or(
+            jnp.logical_not(jnp.all(jnp.abs(out) < jnp.inf)),
+            jnp.logical_not(jnp.all(denom < jnp.inf)))
         f_ref[...] = jnp.broadcast_to(bad.astype(jnp.float32), f_ref.shape)
 
 
@@ -486,7 +505,6 @@ def fused_qkv_attention(x: jnp.ndarray, wq: jnp.ndarray, wk: jnp.ndarray,
     x [N, S, C]; w* [C, C]; bo [C]. Self-attention only (inner == C),
     d = C // heads. See `_fused_qkv_kernel`.
     """
-    import os
 
     n, s, c = x.shape
     d = c // heads
@@ -527,7 +545,6 @@ def fused_qkv_attention(x: jnp.ndarray, wq: jnp.ndarray, wk: jnp.ndarray,
 
 def _packed_lane_attention(q, k, v, *, d, bc, nomax):
     """Lane-blocked dispatch of the packed temporal attention."""
-    import os
 
     n, s, c = q.shape
     scale = d**-0.5
@@ -560,7 +577,6 @@ def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      heads: int) -> jnp.ndarray:
     """Self-attention on [N, S, H·D] without splitting heads at the XLA
     level (no head-major transposes). For tiny S (temporal layers)."""
-    import os
 
     n, s, c = q.shape
     d = c // heads
@@ -624,7 +640,6 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     plain jits (Mosaic failure) or conservative blocks under tuned ones
     (silent perf loss). Every product caller jits at a higher level.
     """
-    import os
 
     b, sq, h, d = q.shape
     sk = k.shape[1]

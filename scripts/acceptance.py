@@ -25,14 +25,28 @@ Stages (each records ok / detail in the one-line JSON verdict):
               repo + torch, skipped cleanly when absent)
   golden    — a seeded concept-mixed MoCA clip with the CONVERTED weights
               (videocrafter_main.py defaults: f x n DDIM steps, seed 321),
-              finite + saved to --artifacts for the CUDA side to diff
+              finite + saved to --artifacts for the CUDA side to diff.
+              Pass --masks (detector masks exported from the reference
+              run) to drive the injection path. NOTE on frame parity:
+              faithful to the reference, injection and the gamma-blend
+              touch only the returned pred_x0 — the queue write-back
+              x_prev is computed first (ddim.py:562 vs :565-609) and
+              funcs.py decodes queue latents — so the EMITTED FRAMES are
+              identical with or without masks on both sides, and the SSIM
+              gate is valid either way. --inject_into_queue opts into our
+              documented fixed mode (frames then do change; not for
+              reference-parity runs).
   ssim      — per-frame SSIM of the golden clip vs --reference_frames,
               gated at --ssim_threshold (default 0.98, BASELINE.md)
 
 To produce the comparison set on the CUDA side, run the reference
-`videocrafter_main.py` with the same seed/prompt/shape and export its
-frames (uint8 PNGs, or one .npz with key "frames" [N,H,W,3] float in
-[-1,1]); pass that as --reference_frames.
+`videocrafter_main.py` with the same seed/prompt/shape. Its exported clip
+keeps the LAST new_video_length//2 frames (videocrafter_main.py:230);
+the golden stage keeps the same tail slice, and stage_ssim aligns frame
+streams from the END. Export the reference frames as uint8 PNGs or one
+.npz with key "frames" [N,H,W,3] float in [-1,1]; its detector masks
+(the visualization dumps) as .npz key "masks" [T, H/8, W/8] binary for
+--masks.
 
 Exit code 0 iff every non-skipped stage passed.
 """
@@ -59,7 +73,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", default="configs/inference_t2v_512_v2.0.yaml")
     p.add_argument("--reference_frames", default=None,
                    help=".npz with 'frames' [N,H,W,3] in [-1,1], or a "
-                        "directory of frame_*.png from the CUDA reference")
+                        "directory of frame_*.png from the CUDA reference "
+                        "(the exported clip = the LAST new_video_length//2 "
+                        "frames; streams are compared tail-aligned)")
+    p.add_argument("--masks", default=None,
+                   help=".npz with 'masks' [T, H/8, W/8] binary detector "
+                        "masks exported from the reference run; routes "
+                        "them through PrecomputedMaskProvider so the "
+                        "injection path runs (note: faithful to the "
+                        "reference, injection touches only pred_x0 — the "
+                        "emitted frames change only with "
+                        "--inject_into_queue, ddim.py:562 vs :565-609)")
+    p.add_argument("--inject_into_queue", action="store_true", default=False,
+                   help="our documented 'fixed' injection mode "
+                        "(MoCAConfig.inject_into_queue): injected pred_x0 "
+                        "feeds the queue write-back; OFF for reference "
+                        "parity runs")
     p.add_argument("--out", default="acceptance.json")
     p.add_argument("--artifacts", default="acceptance_artifacts",
                    help="golden-clip frames/video land here")
@@ -215,8 +244,24 @@ def stage_golden(args, report, cfg, trees, tok):
         num_partitions=args.num_partitions,
         new_video_length=args.new_video_length,
         guidance_scale=args.guidance_scale,
-        moca=MoCAConfig(), use_scale=cfg.diffusion.use_scale,
-        uncond_type=cfg.diffusion.uncond_type)
+        moca=MoCAConfig(inject_into_queue=args.inject_into_queue),
+        use_scale=cfg.diffusion.use_scale,
+        uncond_type=cfg.diffusion.uncond_type,
+        # deterministic lag-1 mask placement (the r3 sync schedule) so the
+        # run is reproducible against a reference-side mask export
+        seg_async=False)
+    mask_provider = None
+    if args.masks is not None:
+        from moca_tpu.io.segmentation import PrecomputedMaskProvider
+
+        mask_provider = PrecomputedMaskProvider(
+            np.asarray(np.load(args.masks)["masks"], np.float32))
+        entry["injection"] = "precomputed masks" + (
+            " (into queue)" if args.inject_into_queue else
+            " (pred_x0 only — reference-faithful; frames unchanged)")
+    else:
+        entry["injection"] = ("inactive (no --masks): the injection gate "
+                              "requires masks")
     h, w = args.height // 8, args.width // 8
     # the reference's hard-coded conditioning image (assets/cats.png resized
     # to latent res, videocrafter_main.py:86-98) is a constant RGBA tensor;
@@ -228,11 +273,12 @@ def stage_golden(args, report, cfg, trees, tok):
                   cond_image=cond,
                   conditioned_prompt=args.conditioned_prompt,
                   gamma=0.5, height=args.height, width=args.width,
-                  target=args.target)
+                  target=args.target, mask_provider=mask_provider)
     entry["seconds"] = round(time.time() - t0, 1)
-    # the reference CLI keeps new_video_length//2 frames (videocrafter_main
-    # .py:229-232); keep the FIRST new_video_length so the count is stable
-    frames = frames[: args.new_video_length]
+    # the reference CLI exports the LAST new_video_length//2 frames
+    # (videocrafter_main.py:230: video_frames[-new_video_length//2:]) —
+    # keep the SAME tail slice so stage_ssim compares aligned frames
+    frames = frames[-(args.new_video_length // 2):]
     arr = np.stack(frames)
     entry["frames"] = int(arr.shape[0])
     entry["finite"] = bool(np.isfinite(arr).all())
@@ -275,6 +321,11 @@ def stage_ssim(args, report, golden):
                             "with the CUDA reference at the same "
                             "seed/prompt/shape and re-run")
         return
+    if golden is None:
+        entry["ok"] = None
+        entry["skipped"] = ("golden stage failed — nothing to compare "
+                            "(see stages.golden)")
+        return
     from moca_tpu.eval.metrics import ssim
 
     ref = _load_reference_frames(args.reference_frames)
@@ -282,10 +333,12 @@ def stage_ssim(args, report, golden):
     entry["compared_frames"] = int(n)
     if len(ref) != len(golden):
         entry["note"] = (f"frame count mismatch (ours {len(golden)}, "
-                         f"reference {len(ref)}); compared the first {n}")
-    # SSIM on [0,1]
-    a = (golden[:n].astype(np.float32) + 1.0) / 2.0
-    b = (ref[:n].astype(np.float32) + 1.0) / 2.0
+                         f"reference {len(ref)}); compared the LAST {n} "
+                         "of each (both exports are tail slices of the "
+                         "FIFO stream, videocrafter_main.py:230)")
+    # SSIM on [0,1]; tail-aligned — both sides export the stream's tail
+    a = (golden[-n:].astype(np.float32) + 1.0) / 2.0
+    b = (ref[-n:].astype(np.float32) + 1.0) / 2.0
     per_frame = [float(ssim(a[i], b[i])) for i in range(n)]
     entry["ssim_per_frame_min"] = round(min(per_frame), 4)
     entry["ssim_mean"] = round(float(np.mean(per_frame)), 4)

@@ -53,7 +53,7 @@ def _run(fixture_dir, tmp_path, extra):
         "--config", str(fixture_dir / "config.yaml"),
         "--out", str(out), "--artifacts", str(art),
         "--height", "32", "--width", "32", "--video_length", "4",
-        "--num_partitions", "2", "--new_video_length", "2",
+        "--num_partitions", "2", "--new_video_length", "4",
         "--guidance_scale", "7.5", "--skip_oracles",
     ] + extra)
     return code, json.loads(out.read_text()), art
@@ -75,7 +75,10 @@ def test_acceptance_end_to_end(first_run):
     assert report["stages"]["tokenizer"]["known_answer_checked"] is False
     assert report["stages"]["oracles"]["skipped"] == "--skip_oracles"
     assert report["stages"]["golden"]["ok"] is True
+    # the export mirrors the reference CLI's tail slice: the LAST
+    # new_video_length//2 frames (videocrafter_main.py:230)
     assert report["stages"]["golden"]["frames"] == 2
+    assert "inactive" in report["stages"]["golden"]["injection"]
     assert report["stages"]["ssim"]["ok"] is None
     assert "reference" in report["stages"]["ssim"]["skipped"]
     assert report["ok"] is True and code == 0
@@ -105,6 +108,38 @@ def test_acceptance_ssim_gate(fixture_dir, first_run, tmp_path):
     s3 = report3["stages"]["ssim"]
     assert s3["ok"] is False and s3["ssim_per_frame_min"] < 0.98
     assert code3 == 1 and report3["ok"] is False
+
+
+def test_acceptance_masks_injection_semantics(fixture_dir, first_run,
+                                              tmp_path):
+    """--masks routes reference-exported detector masks through
+    PrecomputedMaskProvider. Faithful to the reference (x_prev is computed
+    BEFORE injection, ddim.py:562 vs :565-609, and funcs.py decodes queue
+    latents), the emitted frames must be BIT-IDENTICAL with or without
+    masks — that's what makes the SSIM gate valid for mask-driven
+    reference runs. --inject_into_queue (our documented fixed mode) must
+    actually change them."""
+    code, report, art = first_run
+    assert code == 0
+    masks_npz = tmp_path / "masks.npz"
+    np.savez(masks_npz, masks=np.ones((3, 4, 4), np.float32))  # h=w=32/8
+    code2, report2, art2 = _run(fixture_dir, tmp_path,
+                                ["--masks", str(masks_npz)])
+    g = report2["stages"]["golden"]
+    assert code2 == 0 and g["ok"] is True
+    assert g["injection"].startswith("precomputed masks")
+    base = np.load(art / "golden_frames.npz")["frames"]
+    faithful = np.load(art2 / "golden_frames.npz")["frames"]
+    assert np.array_equal(base, faithful), (
+        "reference-faithful injection leaked into the emitted frames")
+
+    code3, report3, art3 = _run(
+        fixture_dir, tmp_path,
+        ["--masks", str(masks_npz), "--inject_into_queue"])
+    assert code3 == 0 and report3["stages"]["golden"]["ok"] is True
+    fixed = np.load(art3 / "golden_frames.npz")["frames"]
+    assert not np.allclose(base, fixed), (
+        "--inject_into_queue changed nothing — injection did not fire")
 
 
 def test_acceptance_png_reference_roundtrip(fixture_dir, first_run,

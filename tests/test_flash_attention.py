@@ -213,6 +213,16 @@ def _check_guarded_fallback(b, s, h, d, kind):
         # sharp head: max base-2 logit ≈ 40·40·d·scale·log2e ≫ 127
         q = q.at[0].set(jnp.abs(q[0]) + 40.0)
         k = k.at[0].set(jnp.abs(k[0]) + 40.0)
+    elif kind == "denom_overflow":
+        # every exp finite but the row SUM overflows (logit ≈ 121.9 base-2
+        # on the flash path / 84.5 natural on the small path; both < the
+        # per-element overflow threshold, both × S ≫ fp32 max) while |v| is
+        # small enough that the accumulator stays finite: raw nomax then
+        # returns a FINITE all-zero output (acc/inf) — the hazard an
+        # output-only finiteness flag cannot see
+        q = jnp.full_like(q, 3.25)
+        k = jnp.full_like(k, 3.25)
+        v = v * jnp.bfloat16(1e-5)
     else:  # all-rows underflow: exp2(-300·…) flushes to 0 → l = 0 → 0/0
         q = jnp.full_like(q, -40.0)
         k = jnp.full_like(k, 40.0)
@@ -220,14 +230,22 @@ def _check_guarded_fallback(b, s, h, d, kind):
     os.environ["MOCA_TPU_FA_SOFTMAX"] = "nomax"
     try:
         raw = flash_attention(q, k, v).astype(jnp.float32)
-        assert not bool(jnp.all(jnp.isfinite(raw))), (
-            "adversarial input no longer trips raw nomax — test is stale")
         os.environ["MOCA_TPU_FA_SOFTMAX"] = "safe"
         ref = flash_attention(q, k, v)
         os.environ["MOCA_TPU_FA_SOFTMAX"] = "guarded"
         out = flash_attention(q, k, v)
     finally:
         del os.environ["MOCA_TPU_FA_SOFTMAX"]
+    if kind == "denom_overflow":
+        # raw nomax is silently wrong here: finite (all zeros), not nan
+        assert bool(jnp.all(jnp.isfinite(raw))), (
+            "denom-overflow input unexpectedly NaNs raw nomax — test is stale")
+        assert bool(jnp.all(raw == 0.0)) and not bool(
+            jnp.all(ref.astype(jnp.float32) == 0.0)), (
+            "denom-overflow input no longer zeroes raw nomax — test is stale")
+    else:
+        assert not bool(jnp.all(jnp.isfinite(raw))), (
+            "adversarial input no longer trips raw nomax — test is stale")
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
     assert bool(jnp.all(out == ref)), "fallback is not bit-identical to safe"
 
@@ -235,8 +253,10 @@ def _check_guarded_fallback(b, s, h, d, kind):
 GUARD_CASES = [
     (2, 2560, 5, 64, "overflow"),   # flash path, full-KV under tuned jit
     (2, 2560, 5, 64, "underflow"),
+    (2, 2560, 5, 64, "denom_overflow"),
     (2, 640, 10, 64, "overflow"),   # small-S batched-rows path
     (2, 160, 20, 64, "underflow"),
+    (2, 640, 10, 64, "denom_overflow"),
 ]
 
 
