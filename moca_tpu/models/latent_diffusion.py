@@ -23,14 +23,19 @@ from moca_tpu.models.unet3d import UNetConfig, UNet3D
 from moca_tpu.models.vae import AutoencoderKL, VAEConfig
 
 # DiffusionWrapper conditioning-key dispatch (ddpm3d.py:696-763): the
-# VideoCrafter family uses these four; the remaining 8 reference modes
-# (resblockcond/adm/hybrid-adm/hybrid-time/concat-time-mask/concat-adm-mask/
-# hybrid-adm-mask/hybrid-time-adm) belong to model variants that ship no
-# config or weights — they are rejected EXPLICITLY (by name) instead of
-# silently misbehaving.
-IMPLEMENTED_CONDITIONING_KEYS = (None, "concat", "crossattn", "hybrid")
+# VideoCrafter family uses the first four; `resblockcond` (ddpm3d.py:718-720
+# — context = c_crossattn[0], NO token concat) also works verbatim with
+# this U-Net family and is implemented. The remaining 7 reference modes
+# (adm/hybrid-adm/hybrid-time/concat-time-mask/concat-adm-mask/
+# hybrid-adm-mask/hybrid-time-adm) pass `y`/`s`/`mask` kwargs that the
+# reference U-Net's own forward (openaimodel3d.py:534) silently swallows
+# via **kwargs — i.e. they are non-functional vestiges in the reference
+# itself — so they are rejected EXPLICITLY (by name) instead of silently
+# dropping conditioning the way the reference would.
+IMPLEMENTED_CONDITIONING_KEYS = (
+    None, "concat", "crossattn", "hybrid", "resblockcond")
 UNSHIPPED_CONDITIONING_KEYS = (
-    "resblockcond", "adm", "hybrid-adm", "hybrid-time", "concat-time-mask",
+    "adm", "hybrid-adm", "hybrid-time", "concat-time-mask",
     "concat-adm-mask", "hybrid-adm-mask", "hybrid-time-adm")
 
 
@@ -60,8 +65,8 @@ class LatentDiffusion:
             concatenated on the token axis by the caller (`torch.cat(…, 1)`).
           * concat / hybrid: `c_concat` [B,T,h,w,Cc] is concatenated on the
             channel axis (requires a U-Net built with matching in_channels).
-        The remaining 9 reference modes belong to model variants that ship
-        no config; they raise in config.py rather than silently misbehave.
+        The 7 y/s/mask reference modes are non-functional in the reference
+        itself; they raise in config.py rather than silently misbehave.
         """
         if c_concat is not None:
             x = jnp.concatenate([x, c_concat], axis=-1)
@@ -85,8 +90,13 @@ class LatentDiffusion:
             CrossAttention constructed without context_dim)
           * 'crossattn'— the shipped VideoCrafter2 mode (:710-712)
           * 'hybrid'   — channel concat + crossattn context (:713-717)
+          * 'resblockcond' — context = c_crossattn[0], NO token concat
+            (:718-720). The name is vestigial (in the original LDM the
+            context routed into ResBlocks); with this U-Net family the
+            reference feeds it straight to cross-attention, and so do we.
 
-        The remaining reference modes are rejected by name (see
+        The remaining reference modes pass y/s/mask kwargs the reference
+        U-Net silently swallows; they are rejected by name (see
         UNSHIPPED_CONDITIONING_KEYS) — no silent fallthrough.
         """
         key = conditioning_key
@@ -109,11 +119,16 @@ class LatentDiffusion:
         if key == "hybrid":
             return self._unet.apply(params, cat_x(), t_frames, cat_c(),
                                     fps=fps, **kwargs)
+        if key == "resblockcond":
+            return self._unet.apply(params, x, t_frames, c_crossattn[0],
+                                    fps=fps, **kwargs)
         if key in UNSHIPPED_CONDITIONING_KEYS:
             raise NotImplementedError(
-                f"conditioning_key '{key}' (ddpm3d.py:718-762) belongs to a "
-                f"model variant the reference ships no config or weights "
-                f"for; implemented keys: {IMPLEMENTED_CONDITIONING_KEYS}")
+                f"conditioning_key '{key}' (ddpm3d.py:721-762) passes "
+                f"y/s/mask conditioning the reference U-Net's forward "
+                f"(openaimodel3d.py:534) silently swallows via **kwargs — "
+                f"non-functional in the reference, rejected here; "
+                f"implemented keys: {IMPLEMENTED_CONDITIONING_KEYS}")
         raise NotImplementedError(f"unknown conditioning_key '{key}'")
 
     def count_params(self) -> dict:

@@ -237,6 +237,32 @@ def test_apply_model_concat_and_uncond():
     assert np.isfinite(np.asarray(out_un)).all()
 
 
+def test_apply_model_resblockcond():
+    """'resblockcond' (ddpm3d.py:718-720) feeds c_crossattn[0] — ONLY the
+    first tensor, no token concat — as the cross-attention context (the
+    ResBlock routing of the name is vestigial with this U-Net family):
+    single-context must equal 'crossattn', multi-context must ignore the
+    extras."""
+    model = _dispatch_model()
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 4))
+    ts = jnp.full((1, 2), 500, jnp.int32)
+    c1 = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
+    c2 = jax.random.normal(jax.random.PRNGKey(3), (1, 7, 16))
+    out = model.apply_model(model.unet_params, x, ts, c_crossattn=[c1],
+                            conditioning_key="resblockcond")
+    ref = model.apply_model(model.unet_params, x, ts, c_crossattn=[c1],
+                            conditioning_key="crossattn")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    multi = model.apply_model(model.unet_params, x, ts,
+                              c_crossattn=[c1, c2],
+                              conditioning_key="resblockcond")
+    np.testing.assert_allclose(np.asarray(multi), np.asarray(out),
+                               atol=1e-6)
+    both = model.apply_model(model.unet_params, x, ts, c_crossattn=[c1, c2],
+                             conditioning_key="crossattn")
+    assert not np.allclose(np.asarray(multi), np.asarray(both))
+
+
 def test_apply_model_rejects_unshipped_keys():
     """Every reference mode without shipped config/weights is rejected BY
     NAME (ddpm3d.py:718-762), as is an unknown key."""
@@ -259,6 +285,8 @@ def test_config_rejects_unshipped_conditioning_key():
     from moca_tpu.config import DiffusionParams
 
     assert DiffusionParams(conditioning_key="hybrid").conditioning_key == "hybrid"
+    assert (DiffusionParams(conditioning_key="resblockcond")
+            .conditioning_key == "resblockcond")
     with pytest.raises(NotImplementedError, match="adm"):
         DiffusionParams(conditioning_key="adm")
     with pytest.raises(NotImplementedError, match="wavelet"):
