@@ -65,9 +65,11 @@ def build_parser():
                    help="i2v: per-prompt conditioning images whose CLIP "
                         "tokens are concatenated to the text context "
                         "(inference.py:110-117)")
-    p.add_argument("--cond_image_dir", type=str, default=None,
+    p.add_argument("--cond_image_dir", "--cond_input", type=str,
+                   default=None, dest="cond_image_dir",
                    help="i2v mode: directory of images matched to prompts "
-                        "by sorted order")
+                        "by sorted order (--cond_input is the reference's "
+                        "flag name, inference.py:38)")
     return p
 
 
@@ -119,6 +121,7 @@ def main(args):
     shard = prompts[args.rank * per : (args.rank + 1) * per]
 
     cond_images = None
+    cond_names = None
     if args.mode == "i2v":
         assert args.cond_image_dir, "--cond_image_dir required for i2v"
         from moca_tpu.io.video import uint8_to_tensor
@@ -130,6 +133,9 @@ def main(args):
                 .convert("RGB")))
             for f in files
         ]
+        # outputs are named after the conditioning-image stem, like the
+        # reference (inference.py:84)
+        cond_names = [os.path.splitext(f)[0] for f in files]
 
     os.makedirs(args.savedir, exist_ok=True)
 
@@ -158,11 +164,14 @@ def main(args):
     for i, prompt in enumerate(shard):
         t0 = time.time()
         img_tokens = None
+        name = prompt[:100].replace("/", "_")
         if cond_images is not None:
             # image tokens appended to the text context on the token axis
             # (inference.py:110-117)
-            img = cond_images[(args.rank * per + i) % len(cond_images)]
+            j = (args.rank * per + i) % len(cond_images)
+            img = cond_images[j]
             img_tokens = model.get_image_embeds(img[None])
+            name = cond_names[j]
         for s in range(args.n_samples):
             key = jax.random.fold_in(
                 jax.random.PRNGKey(args.seed),
@@ -176,7 +185,6 @@ def main(args):
                              width=args.width, frames=args.frames,
                              image_tokens=img_tokens,
                              use_ddpm=args.ddim_steps <= 0)
-            name = prompt[:100].replace("/", "_")
             suffix = f"_{s}" if args.n_samples > 1 else ""
             save_video([np.asarray(v) for v in video],
                        os.path.join(args.savedir, f"{name}{suffix}.mp4"),

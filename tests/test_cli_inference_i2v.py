@@ -72,7 +72,9 @@ def _run(args_list, setup, monkeypatch, tmp_path):
         "--ckpt_path", "/nonexistent.ckpt",
         "--prompt_file", str(prompt_file),
         "--savedir", str(savedir),
-        "--mode", "i2v", "--cond_image_dir", str(img_dir),
+        # the reference's flag name (inference.py:38) — aliased to
+        # --cond_image_dir
+        "--mode", "i2v", "--cond_input", str(img_dir),
         "--height", str(HEIGHT), "--width", str(WIDTH),
         "--frames", str(F), "--ddim_steps", str(F),
     ] + args_list)
@@ -84,7 +86,9 @@ def test_i2v_writes_one_mp4_per_prompt(tiny_i2v_setup, monkeypatch,
                                        tmp_path):
     savedir = _run([], tiny_i2v_setup, monkeypatch, tmp_path)
     vids = sorted(os.listdir(savedir))
-    assert vids == ["a blue bird.mp4", "a red fox.mp4"]
+    # i2v outputs are named after the conditioning-image stem, like the
+    # reference (inference.py:84)
+    assert vids == ["cond_0.mp4", "cond_1.mp4"]
     assert all((savedir / v).stat().st_size > 0 for v in vids)
 
 
