@@ -70,6 +70,11 @@ def build_parser():
                    help="i2v mode: directory of images matched to prompts "
                         "by sorted order (--cond_input is the reference's "
                         "flag name, inference.py:38)")
+    p.add_argument("--mesh", type=str, default=None, metavar="DP,FIFO",
+                   help="shard the batched CFG/prompt rows + decode over a "
+                        "device mesh, e.g. '1,8' with --bs 4 on a v5e-8 — "
+                        "in-process multi-chip (the reference forks one "
+                        "process per GPU instead, ddp_wrapper.py)")
     return p
 
 
@@ -107,12 +112,13 @@ def main(args):
         model = LatentDiffusion(cfg.unet, cfg.vae, cfg.clip, unet_p, vae_p,
                                 clip_p,
                                 scale_factor=cfg.diffusion.scale_factor)
+    from moca_tpu.cli.main import parse_mesh
     pipe = T2VPipeline.build(
         model, load_tokenizer(args.bpe_path), num_steps=args.ddim_steps,
         eta=args.ddim_eta, use_scale=cfg.diffusion.use_scale,
         guidance_scale=args.unconditional_guidance_scale, fps=args.fps,
         temporal_cfg_scale=args.unconditional_guidance_scale_temporal,
-        uncond_type=cfg.diffusion.uncond_type)
+        uncond_type=cfg.diffusion.uncond_type, mesh=parse_mesh(args))
 
     with open(args.prompt_file) as f:
         prompts = [l.strip() for l in f if l.strip()]

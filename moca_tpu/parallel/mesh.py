@@ -53,21 +53,29 @@ def shard_batch(mesh: Mesh, axes=("fifo", "dp")):
 
 
 def make_sharded_unet_apply(unet_apply, mesh: Mesh,
-                            batch_axes=("fifo", "dp")):
+                            batch_axes=("fifo", "dp"),
+                            skip_indivisible: bool = False):
     """Wrap a U-Net apply fn with batch-axis sharding constraints.
 
     Inputs/outputs are constrained to shard their leading (window·cfg·batch)
     axis across the mesh; parameters stay replicated (the 1.4B U-Net fits
     per chip — SURVEY §2.5: no tensor parallelism needed; add activation
     sharding here if a bigger model family lands).
+
+    skip_indivisible: pass batches whose leading axis doesn't tile the mesh
+    through unconstrained (trace-time check) — used by the T2V path, where
+    the CFG batch is 2·B prompt rows and B is user-chosen, unlike the FIFO
+    window batch whose geometry is pinned to the mesh.
     """
     s = NamedSharding(mesh, P(batch_axes))
 
-    def apply(params, x, t_frames, context, fps=16):
+    def apply(params, x, t_frames, context, fps=16, **kw):
+        if skip_indivisible and x.shape[0] % mesh.size:
+            return unet_apply(params, x, t_frames, context, fps, **kw)
         x = jax.lax.with_sharding_constraint(x, s)
         t_frames = jax.lax.with_sharding_constraint(t_frames, s)
         context = jax.lax.with_sharding_constraint(context, s)
-        out = unet_apply(params, x, t_frames, context, fps)
+        out = unet_apply(params, x, t_frames, context, fps, **kw)
         return jax.lax.with_sharding_constraint(out, s)
 
     return apply

@@ -90,7 +90,7 @@ class MoCAVideoPipeline:
         self.base = T2VPipeline(
             self.model, self.sch, self.tokenizer,
             guidance_scale=self.guidance_scale, fps=self.fps,
-            uncond_type=self.uncond_type)
+            uncond_type=self.uncond_type, mesh=self.mesh)
 
     # ------------------------------------------------------------------
     # jitted step: all FIFO windows + MoCA + shift in one compiled graph

@@ -33,19 +33,34 @@ class T2VPipeline:
     uc_type: object = None               # ddim.py:303-311 CFG variants
     temporal_cfg_scale: object = None    # funcs.py:121 temporal guidance
     uncond_type: str = "empty_seq"       # ddpm3d.py:397; funcs.py:128-134
+    # jax.sharding.Mesh → shard the 2·B-row CFG/prompt batch (and the decode
+    # batch) over the devices: in-process multi-chip for --bs batched T2V,
+    # replacing the reference's one-process-per-GPU contiguous prompt split
+    # (inference.py:71-77 + ddp_wrapper.py). Batches that don't tile the
+    # mesh (e.g. B=1 → 2 rows on 8 chips) pass through unsharded.
+    mesh: object = None
 
     @classmethod
     def build(cls, model, tokenizer, num_steps: int = 50, eta: float = 1.0,
               use_scale: bool = True, guidance_scale: float = 12.0,
               fps: int = 10, uc_type=None, temporal_cfg_scale=None,
-              uncond_type: str = "empty_seq", **sched_kw):
+              uncond_type: str = "empty_seq", mesh=None, **sched_kw):
         # num_steps ≤ 0 selects ancestral DDPM sampling (inference.py:28);
         # the DDIM buffers still need a valid length for the schedule pytree
         sch = make_schedule(ddim_num_steps=max(num_steps, 1), ddim_eta=eta,
                             use_scale=use_scale, **sched_kw)
         return cls(model, sch, tokenizer, guidance_scale, fps,
                    uc_type=uc_type, temporal_cfg_scale=temporal_cfg_scale,
-                   uncond_type=uncond_type)
+                   uncond_type=uncond_type, mesh=mesh)
+
+    def _unet_apply(self):
+        """model.apply_unet, batch-sharded over the mesh when one is set."""
+        if self.mesh is None:
+            return self.model.apply_unet
+        from moca_tpu.parallel.mesh import make_sharded_unet_apply
+        return make_sharded_unet_apply(
+            self.model.apply_unet, self.mesh, batch_axes=("dp", "fifo"),
+            skip_indivisible=True)
 
     # ------------------------------------------------------------------
     @functools.partial(tuned_jit, static_argnums=(0,))
@@ -78,7 +93,7 @@ class T2VPipeline:
         # would embed it in the HLO (fatal for axon's remote compiler).
         ctx, uc = contexts
         eps_fn = make_cfg_eps_fn(
-            self.model.apply_unet, params,
+            self._unet_apply(), params,
             ctx, uc, self.guidance_scale, fps=self.fps,
             uc_type=self.uc_type,
             temporal_guidance_scale=self.temporal_cfg_scale)
@@ -105,6 +120,10 @@ class T2VPipeline:
 
     @functools.partial(tuned_jit, static_argnums=(0,))
     def _decode(self, vae_params, latents):
+        if self.mesh is not None and latents.shape[0] % self.mesh.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            latents = jax.lax.with_sharding_constraint(
+                latents, NamedSharding(self.mesh, P(("dp", "fifo"))))
         return jnp.clip(
             self.model.decode_latents(latents, params=vae_params), -1.0, 1.0)
 
@@ -127,7 +146,7 @@ class T2VPipeline:
 
         ctx, uc = contexts
         eps_fn = make_cfg_eps_fn(
-            self.model.apply_unet, params, ctx, uc, self.guidance_scale,
+            self._unet_apply(), params, ctx, uc, self.guidance_scale,
             fps=self.fps, uc_type=self.uc_type,
             temporal_guidance_scale=self.temporal_cfg_scale)
         return ddpm_sample(eps_fn, self.sch, shape, key)
@@ -212,7 +231,7 @@ class T2VPipeline:
 def _ddim_from_xt_jit(pipe: T2VPipeline, params, contexts, x_T, key):
     ctx, uc = contexts
     eps_fn = make_cfg_eps_fn(
-        pipe.model.apply_unet, params,
+        pipe._unet_apply(), params,
         ctx, uc, pipe.guidance_scale, fps=pipe.fps)
     return ddim_sample(eps_fn, pipe.sch, x_T.shape, key, x_T=x_T)
 

@@ -20,6 +20,11 @@ one queue on a (dp=N, fifo=8/N) mesh, each prompt with its own context
 row (pipelines/moca_video.py batched mode); the partitioned HLO shows the
 dp axis stays collective-free (prompt streams are independent).
 
+`--t2v B`: instead of the FIFO iteration, lower ONE batched-T2V DDIM step
+(pipelines/t2v.py with mesh: B prompts → 2·B interleaved CFG rows sharded
+over the (1, 8) mesh — the `cli/inference.py --bs B --mesh 1,8` path) and
+report the same per-device flop + collective evidence.
+
 `--small` drops model_channels 320→64 (CPU RAM/compile-time relief; the
 collective STRUCTURE is config-independent — same partitioned program
 shape — only the byte counts scale).
@@ -116,6 +121,61 @@ def build_iteration(small: bool, dp: int = 1):
     return mesh, iteration, unet_apply, sharded_apply, uparams, latents, key
 
 
+def build_t2v_step(small: bool, batch: int):
+    """One batched-T2V DDIM step (pipelines/t2v.py under a mesh): B prompts
+    → 2·B interleaved CFG rows sharded over (1, 8) — the
+    `cli/inference.py --bs B --mesh 1,8` path (ref: inference.py:92-101 +
+    ddp_wrapper.py's one-process-per-GPU contiguous split)."""
+    import numpy as np
+
+    from moca_tpu.models.unet3d import UNet3D, UNetConfig
+    from moca_tpu.parallel.mesh import make_mesh, make_sharded_unet_apply
+    from moca_tpu.sampling.ddim import (ddim_step_math, make_cfg_eps_fn,
+                                        shared_normal)
+    from moca_tpu.schedule import make_schedule
+
+    H, W, FRAMES = 40, 64, 16
+    dtype = jnp.bfloat16
+    kw = dict(dtype=dtype, param_dtype=dtype)
+    if small:
+        kw.update(model_channels=64, num_head_channels=16)
+    ucfg = UNetConfig(**kw)
+    unet = UNet3D(ucfg)
+    sch = make_schedule(ddim_num_steps=50, ddim_eta=1.0)
+    ctx = jnp.zeros((batch, 77, ucfg.context_dim), jnp.float32)
+    uc = jnp.zeros_like(ctx)
+
+    x1 = jnp.zeros((1, FRAMES, H, W, 4), jnp.float32)
+    ts = jnp.zeros((1, FRAMES), jnp.int32)
+    ushapes = jax.eval_shape(lambda k: unet.init(k, x1, ts, ctx[:1], fps=16),
+                             jax.random.PRNGKey(0))
+    uparams = jax.tree.map(lambda l: jnp.zeros(l.shape, l.dtype), ushapes)
+
+    mesh = make_mesh((1, 8))
+
+    def unet_apply(p, xx, tt, cc, fps=16):
+        return unet.apply(p, xx, tt, cc, fps=fps)
+
+    # same wrapper + axes the T2V pipeline uses (t2v.py _unet_apply)
+    sharded_apply = make_sharded_unet_apply(
+        unet_apply, mesh, batch_axes=("dp", "fifo"), skip_indivisible=True)
+
+    index = sch.num_ddim_steps - 1  # first (noisiest) step of the scan
+
+    def iteration(params, x, key, apply_fn):
+        eps_fn = make_cfg_eps_fn(apply_fn, params, ctx, uc, 12.0)
+        t_frames = jnp.broadcast_to(
+            sch.ddim_timesteps[index], x.shape[:2]).astype(jnp.int32)
+        eps = eps_fn(x, t_frames)
+        noise = shared_normal(key, x.shape)
+        x_prev, _ = ddim_step_math(sch, x, eps, index, noise)
+        return x_prev
+
+    latents = jnp.zeros((batch, FRAMES, H, W, 4))
+    key = jax.random.PRNGKey(4)
+    return mesh, iteration, unet_apply, sharded_apply, uparams, latents, key
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
@@ -123,10 +183,20 @@ def main():
     ap.add_argument("--dp", type=int, default=1, choices=(1, 2, 4),
                     help="prompt-batch data parallelism: mesh (dp, 8/dp), "
                          "B=dp prompts in one queue")
+    ap.add_argument("--t2v", type=int, default=0, metavar="B",
+                    help="lower one batched-T2V DDIM step (B prompts → 2·B "
+                         "CFG rows on a (1,8) mesh) instead of the FIFO "
+                         "iteration")
     args = ap.parse_args()
 
-    (mesh, iteration, unet_apply, sharded_apply,
-     uparams, latents, key) = build_iteration(args.small, args.dp)
+    if args.t2v:
+        assert (2 * args.t2v) % 8 == 0, \
+            "--t2v B: 2·B CFG rows must tile the 8-device mesh (B ∈ 4, 8, …)"
+        (mesh, iteration, unet_apply, sharded_apply,
+         uparams, latents, key) = build_t2v_step(args.small, args.t2v)
+    else:
+        (mesh, iteration, unet_apply, sharded_apply,
+         uparams, latents, key) = build_iteration(args.small, args.dp)
     assert len(jax.devices()) >= 8, "need 8 virtual devices (XLA_FLAGS)"
 
     print("compiling single-device ...", flush=True)

@@ -145,6 +145,121 @@ def test_mesh_pipeline_resume(tiny_model, tmp_path):
     np.testing.assert_allclose(np.stack(resumed), np.stack(full), atol=1e-4)
 
 
+def test_mesh_pipeline_davis_mode(tiny_model):
+    """DAVIS mode (real-video latents + GT mask queue + per-shift anchor
+    re-encode, funcs.py:101-118) sharded ≡ unsharded — the mask-queue shift
+    and the anchor ε-draw both live inside the jitted iteration, so a mesh
+    bug in either would corrupt the stream silently."""
+    from moca_tpu.sampling.moca import MoCAConfig
+
+    h, w = HEIGHT // 8, WIDTH // 8
+    T0 = 6
+    clean = jax.random.normal(jax.random.PRNGKey(3), (1, T0, h, w, 4)) * 0.1
+    masks = (np.random.default_rng(0).random((T0, h, w)) > 0.5
+             ).astype(np.float32)
+    cond = np.full((h, w, 4), 0.2, np.float32)
+    davis_frames = jax.random.uniform(
+        jax.random.PRNGKey(5), (T0, HEIGHT, WIDTH, 3), minval=-1, maxval=1)
+    kw = dict(cond_image=cond, height=HEIGHT, width=WIDTH,
+              clean_latents=clean, masks=masks, davis_frames=davis_frames)
+    key = jax.random.PRNGKey(4)
+    moca = MoCAConfig(inject_into_queue=True)
+
+    plain = _pipe(tiny_model, new_video_length=2, moca=moca)(
+        "object moving", key, **kw)
+    sharded = _pipe(tiny_model, mesh=make_mesh((1, 8)), new_video_length=2,
+                    moca=moca)("object moving", key, **kw)
+    assert len(sharded) == len(plain)
+    np.testing.assert_allclose(np.stack(sharded), np.stack(plain), atol=2e-4)
+
+
+def test_mesh_pipeline_multiprompt(tiny_model, tmp_path):
+    """Multi-prompt long video (funcs.py:375-468: context swap at frame
+    boundaries) sharded ≡ unsharded — the swapped context is a traced arg,
+    so the mesh run must follow the same prompt schedule without retrace."""
+    key = jax.random.PRNGKey(11)
+    mp = [("scene one", 2), ("scene two", 2)]
+    kw = dict(height=HEIGHT, width=WIDTH, multiprompts=mp)
+
+    plain = _pipe(tiny_model)(
+        "scene one", key, latents_dir=str(tmp_path / "plain"), **kw)
+    sharded = _pipe(tiny_model, mesh=make_mesh((1, 8)))(
+        "scene one", key, latents_dir=str(tmp_path / "mesh"), **kw)
+    assert len(sharded) == len(plain) == 4 + F * N - F
+    np.testing.assert_allclose(np.stack(sharded), np.stack(plain), atol=2e-4)
+
+
+def test_mesh_pipeline_batched_prompts_dp2(tiny_model):
+    """B=2 prompt streams on a (2, 4) mesh: the dp axis shards REAL work
+    (two prompts in one queue) and reproduces the unsharded B=2 run.
+    Same-batch-shape comparison → same XLA program class, tight tolerance."""
+    prompts = ["a mouse", "a spotted dog"]
+    key = jax.random.PRNGKey(13)
+    h, w = HEIGHT // 8, WIDTH // 8
+    kw = dict(cond_image=np.full((h, w, 4), 0.2, np.float32), gamma=0.5,
+              height=HEIGHT, width=WIDTH)
+
+    plain = _pipe(tiny_model)(prompts, key, **kw)
+    sharded = _pipe(tiny_model, mesh=make_mesh((2, 4)))(prompts, key, **kw)
+    assert len(sharded) == len(plain) == 2
+    for ps, ss in zip(plain, sharded):
+        assert len(ps) == len(ss)
+        np.testing.assert_allclose(np.stack(ss), np.stack(ps), atol=2e-4)
+
+
+def test_t2v_mesh_matches_unsharded(tiny_model):
+    """Batched T2V under the mesh (`cli/inference.py --bs 4 --mesh 1,8`):
+    B=4 prompts → 8 interleaved CFG rows, one per device; sharded ≡
+    unsharded. The DDPM ancestral path (ddim_steps≤0) shards through the
+    same wrapper."""
+    from moca_tpu.pipelines.t2v import T2VPipeline
+
+    prompts = ["a cat", "a dog", "a fox", "a bear"]
+    key = jax.random.PRNGKey(21)
+    kw = dict(height=HEIGHT, width=WIDTH, frames=F)
+    plain_pipe = T2VPipeline.build(
+        tiny_model, HashTokenizer(), num_steps=F * N, guidance_scale=7.5)
+    mesh_pipe = T2VPipeline.build(
+        tiny_model, HashTokenizer(), num_steps=F * N, guidance_scale=7.5,
+        mesh=make_mesh((1, 8)))
+
+    np.testing.assert_allclose(
+        np.asarray(mesh_pipe(prompts, key, **kw)),
+        np.asarray(plain_pipe(prompts, key, **kw)), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(mesh_pipe(prompts, key, use_ddpm=True, **kw)),
+        np.asarray(plain_pipe(prompts, key, use_ddpm=True, **kw)),
+        atol=2e-4)
+    # B=1 → 2 CFG rows don't tile the 8-device mesh: the trace-time
+    # divisibility guard passes them through unsharded instead of failing
+    single = mesh_pipe("a cat", key, **kw)
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(plain_pipe("a cat", key, **kw)),
+        atol=2e-4)
+
+
+def test_t2v_hlo_shards_cfg_batch(tiny_model):
+    """The compiled batched-T2V scan must carry per-device CFG rows —
+    [1, f, h, w, C] per chip for B=4 on the 8-device mesh, not the
+    replicated [8, ...] batch."""
+    from moca_tpu.models.tokenizer import HashTokenizer as HT
+    from moca_tpu.pipelines.t2v import T2VPipeline
+
+    pipe = T2VPipeline.build(
+        tiny_model, HT(), num_steps=F * N, guidance_scale=7.5,
+        mesh=make_mesh((1, 8)))
+    B = 4
+    ctx = jnp.zeros((B, 77, 16))
+    uc = jnp.zeros_like(ctx)
+    h, w = HEIGHT // 8, WIDTH // 8
+    lowered = type(pipe)._sample_latents.lower(
+        pipe, pipe.model.unet_params, (ctx, uc), jax.random.PRNGKey(0),
+        (B, F, h, w, 4))
+    txt = lowered.compile().as_text()
+    assert "f32[1,4,4,4,32]" in txt, "CFG batch not sharded per device"
+    assert "f32[8,4,4,4,32]" not in txt, "CFG batch replicated"
+
+
 def test_fifo_iteration_hlo_shards_window_batch(tiny_model):
     """The compiled HLO of the pipeline's jitted FIFO iteration must show
     the per-device window-batch shape — R·B·2 CFG rows split across the 8
