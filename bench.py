@@ -385,11 +385,11 @@ def main():
                      "tunnel is down; the stale_* fields repeat the last "
                      "fresh-process on-chip measurement, they are NOT from "
                      "this run",
-            "stale_fifo_sec_per_frame": 1.802,
+            "stale_fifo_sec_per_frame": 1.804,
             "stale_t2v_clip_s": 11.9,
-            "stale_source": "docs/PERF.md round-4 guarded fast softmax "
-                            "default (r3 kernels + exact-safe nomax-speed "
-                            "softmax, 1.802); t2v from the r3 kernels",
+            "stale_source": "docs/ROUND4.md tail-session HEAD re-bench "
+                            "(guarded fast softmax incl. denominator "
+                            "check, 1.804); t2v from the r3 kernels",
         }))
         return
     if mode == "t2v":

@@ -87,6 +87,21 @@ def test_inference_bs_batched_rounds(tiny_setup, monkeypatch, tmp_path):
     assert all((savedir / v).stat().st_size > 0 for v in vids)
 
 
+def test_inference_bs_mesh_e2e(tiny_setup, monkeypatch, tmp_path):
+    """--bs 4 --mesh 1,8: the batched round's 2·B=8 CFG rows shard over the
+    8 virtual devices through the CLI's own flag parsing + pipeline wiring
+    (4 prompts → one full batch, one mp4 per prompt)."""
+    prompt_file = tmp_path / "p4.txt"
+    prompt_file.write_text("a red fox\na blue bird\na green frog\na tan owl\n")
+    savedir = _run(["--bs", "4", "--mesh", "1,8",
+                    "--prompt_file", str(prompt_file)],
+                   tiny_setup, monkeypatch, tmp_path)
+    vids = sorted(os.listdir(savedir))
+    assert vids == ["a blue bird.mp4", "a green frog.mp4", "a red fox.mp4",
+                    "a tan owl.mp4"]
+    assert all((savedir / v).stat().st_size > 0 for v in vids)
+
+
 def test_inference_n_samples_suffixes(tiny_setup, monkeypatch, tmp_path):
     savedir = _run(["--n_samples", "2", "--num_processes", "3"],
                    tiny_setup, monkeypatch, tmp_path)
