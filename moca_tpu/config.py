@@ -38,17 +38,14 @@ class DiffusionParams:
 
     def __post_init__(self):
         from moca_tpu.models.latent_diffusion import (
-            IMPLEMENTED_CONDITIONING_KEYS, UNSHIPPED_CONDITIONING_KEYS)
+            IMPLEMENTED_CONDITIONING_KEYS)
 
         if self.conditioning_key in IMPLEMENTED_CONDITIONING_KEYS:
             return
-        known = self.conditioning_key in UNSHIPPED_CONDITIONING_KEYS
         raise NotImplementedError(
-            f"conditioning_key '{self.conditioning_key}' "
-            + ("belongs to a model variant the reference ships no config "
-               "or weights for (ddpm3d.py:718-762); " if known
-               else "is not a reference DiffusionWrapper mode; ")
-            + f"implemented keys: {IMPLEMENTED_CONDITIONING_KEYS}")
+            f"conditioning_key '{self.conditioning_key}' is not a "
+            f"reference DiffusionWrapper mode (ddpm3d.py:702-762); "
+            f"implemented keys: {IMPLEMENTED_CONDITIONING_KEYS}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,16 +25,23 @@ from moca_tpu.models.vae import AutoencoderKL, VAEConfig
 # DiffusionWrapper conditioning-key dispatch (ddpm3d.py:696-763): the
 # VideoCrafter family uses the first four; `resblockcond` (ddpm3d.py:718-720
 # — context = c_crossattn[0], NO token concat) also works verbatim with
-# this U-Net family and is implemented. The remaining 7 reference modes
+# this U-Net family. The remaining 7 reference modes
 # (adm/hybrid-adm/hybrid-time/concat-time-mask/concat-adm-mask/
 # hybrid-adm-mask/hybrid-time-adm) pass `y`/`s`/`mask` kwargs that the
 # reference U-Net's own forward (openaimodel3d.py:534) silently swallows
-# via **kwargs — i.e. they are non-functional vestiges in the reference
-# itself — so they are rejected EXPLICITLY (by name) instead of silently
-# dropping conditioning the way the reference would.
+# via **kwargs — non-functional vestiges in the reference itself. They are
+# implemented with EXACTLY that behavior: the concat/context wiring and the
+# argument asserts are reference-faithful, the y/s/mask values are
+# validated then discarded like the reference U-Net discards them (see
+# VESTIGIAL_CONDITIONING_KEYS), so outputs bit-match what the reference
+# model family would produce for these configs.
 IMPLEMENTED_CONDITIONING_KEYS = (
-    None, "concat", "crossattn", "hybrid", "resblockcond")
-UNSHIPPED_CONDITIONING_KEYS = (
+    None, "concat", "crossattn", "hybrid", "resblockcond",
+    "adm", "hybrid-adm", "hybrid-time", "concat-time-mask",
+    "concat-adm-mask", "hybrid-adm-mask", "hybrid-time-adm")
+# The modes whose extra conditioning (y/s/mask) the reference U-Net family
+# ignores; kept as a named set so callers/tests can reason about them.
+VESTIGIAL_CONDITIONING_KEYS = (
     "adm", "hybrid-adm", "hybrid-time", "concat-time-mask",
     "concat-adm-mask", "hybrid-adm-mask", "hybrid-time-adm")
 
@@ -66,7 +73,7 @@ class LatentDiffusion:
           * concat / hybrid: `c_concat` [B,T,h,w,Cc] is concatenated on the
             channel axis (requires a U-Net built with matching in_channels).
         The 7 y/s/mask reference modes are non-functional in the reference
-        itself; they raise in config.py rather than silently misbehave.
+        itself; apply_model implements them with that exact semantics.
         """
         if c_concat is not None:
             x = jnp.concatenate([x, c_concat], axis=-1)
@@ -75,8 +82,8 @@ class LatentDiffusion:
 
     def apply_model(self, params, x, t_frames, c_concat=None,
                     c_crossattn=None, conditioning_key="crossattn", fps=16,
-                    **kwargs):
-        """DiffusionWrapper.forward dispatch (ddpm3d.py:696-763).
+                    c_adm=None, s=None, mask=None, **kwargs):
+        """DiffusionWrapper.forward dispatch (ddpm3d.py:696-763), all 12 keys.
 
         `c_concat` / `c_crossattn` are LISTS of tensors — the reference's
         conditioning contract: channel concat happens on the channels axis
@@ -95,40 +102,72 @@ class LatentDiffusion:
             context routed into ResBlocks); with this U-Net family the
             reference feeds it straight to cross-attention, and so do we.
 
-        The remaining reference modes pass y/s/mask kwargs the reference
-        U-Net silently swallows; they are rejected by name (see
-        UNSHIPPED_CONDITIONING_KEYS) — no silent fallthrough.
+        The 7 VESTIGIAL_CONDITIONING_KEYS (:721-762) additionally route
+        y/s/mask into the U-Net call — kwargs the reference U-Net's own
+        forward (openaimodel3d.py:534) silently swallows via **kwargs.
+        They are implemented with reference-identical behavior: the same
+        concat/context wiring, the same argument asserts ('hybrid-adm' and
+        'hybrid-time-adm' assert c_adm, 'hybrid-time' asserts s, 'adm'
+        subscripts c_crossattn), and `_swallow()` discarding the y/s/mask
+        values exactly where the reference network discards them.
         """
         key = conditioning_key
 
         def cat_x():
             return jnp.concatenate([x] + list(c_concat), axis=-1)
 
+        def cat_x_opt():
+            # concat-adm-mask / hybrid-adm-mask tolerate c_concat=None
+            # (ddpm3d.py:742-746, :749-753)
+            return x if c_concat is None else cat_x()
+
         def cat_c():
             return jnp.concatenate(list(c_crossattn), axis=1)
 
+        def _swallow(*_ignored):
+            """The reference forwards these into UNetModel.forward's
+            **kwargs (openaimodel3d.py:534) which never reads them — the
+            values reach the network and are dropped. Mirror that drop
+            here (our Flax __call__ has no kwargs sink)."""
+            return None
+
+        unet = lambda xin, ctx: self._unet.apply(  # noqa: E731
+            params, xin, t_frames, ctx, fps=fps, **kwargs)
+
         if key is None:
-            return self._unet.apply(params, x, t_frames, None, fps=fps,
-                                    **kwargs)
+            return unet(x, None)
         if key == "concat":
-            return self._unet.apply(params, cat_x(), t_frames, None,
-                                    fps=fps, **kwargs)
+            return unet(cat_x(), None)
         if key == "crossattn":
-            return self._unet.apply(params, x, t_frames, cat_c(), fps=fps,
-                                    **kwargs)
+            return unet(x, cat_c())
         if key == "hybrid":
-            return self._unet.apply(params, cat_x(), t_frames, cat_c(),
-                                    fps=fps, **kwargs)
+            return unet(cat_x(), cat_c())
         if key == "resblockcond":
-            return self._unet.apply(params, x, t_frames, c_crossattn[0],
-                                    fps=fps, **kwargs)
-        if key in UNSHIPPED_CONDITIONING_KEYS:
-            raise NotImplementedError(
-                f"conditioning_key '{key}' (ddpm3d.py:721-762) passes "
-                f"y/s/mask conditioning the reference U-Net's forward "
-                f"(openaimodel3d.py:534) silently swallows via **kwargs — "
-                f"non-functional in the reference, rejected here; "
-                f"implemented keys: {IMPLEMENTED_CONDITIONING_KEYS}")
+            return unet(x, c_crossattn[0])
+        if key == "adm":                          # ddpm3d.py:721-723
+            _swallow(c_crossattn[0])              # y = c_crossattn[0]
+            return unet(x, None)
+        if key == "hybrid-adm":                   # :724-728
+            assert c_adm is not None
+            _swallow(c_adm)                       # y = c_adm
+            return unet(cat_x(), cat_c())
+        if key == "hybrid-time":                  # :729-733
+            assert s is not None
+            _swallow(s)
+            return unet(cat_x(), cat_c())
+        if key == "concat-time-mask":             # :734-738
+            _swallow(s, mask)
+            return unet(cat_x(), None)
+        if key == "concat-adm-mask":              # :739-746 (y = s)
+            _swallow(s, mask)
+            return unet(cat_x_opt(), None)
+        if key == "hybrid-adm-mask":              # :747-753 (y = s)
+            _swallow(s, mask)
+            return unet(cat_x_opt(), cat_c())
+        if key == "hybrid-time-adm":              # :754-760
+            assert c_adm is not None
+            _swallow(s, c_adm)
+            return unet(cat_x(), cat_c())
         raise NotImplementedError(f"unknown conditioning_key '{key}'")
 
     def count_params(self) -> dict:

@@ -263,31 +263,88 @@ def test_apply_model_resblockcond():
     assert not np.allclose(np.asarray(multi), np.asarray(both))
 
 
-def test_apply_model_rejects_unshipped_keys():
-    """Every reference mode without shipped config/weights is rejected BY
-    NAME (ddpm3d.py:718-762), as is an unknown key."""
-    from moca_tpu.models.latent_diffusion import UNSHIPPED_CONDITIONING_KEYS
-
+def test_apply_model_vestigial_keys_reference_semantics():
+    """The 7 y/s/mask modes (ddpm3d.py:721-762) behave EXACTLY like the
+    reference model family: the concat/context wiring applies, the y/s/mask
+    values are discarded (the reference U-Net's forward swallows them via
+    **kwargs, openaimodel3d.py:534), and the reference's argument checks
+    fire. Pin each mode against its functional equivalent."""
     model = _dispatch_model()
-    x = jnp.zeros((1, 2, 8, 8, 4))
-    ts = jnp.zeros((1, 2), jnp.int32)
-    for key in UNSHIPPED_CONDITIONING_KEYS:
-        with pytest.raises(NotImplementedError, match=key):
-            model.apply_model(model.unet_params, x, ts,
-                              conditioning_key=key)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 4))
+    ts = jnp.full((1, 2), 500, jnp.int32)
+    c1 = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
+    y = jnp.ones((1, 4))
+
+    def run(m, key, **kw):
+        return np.asarray(m.apply_model(m.unet_params, x, ts,
+                                        conditioning_key=key, **kw))
+
+    # 'adm': y = c_crossattn[0] is swallowed → unconditional forward.
+    # An adm model is built WITHOUT cross-attention context (context=None
+    # reaches the network), like the reference's class-conditional LDMs.
+    plain = _dispatch_model(in_channels=4, context_dim=None)
+    uncond = run(plain, None)
+    np.testing.assert_array_equal(run(plain, "adm", c_crossattn=[c1]),
+                                  uncond)
+    with pytest.raises(TypeError):  # reference subscripts None the same way
+        run(plain, "adm")
+
+    # hybrid-time / hybrid-adm / hybrid-time-adm ≡ 'hybrid' (s/y swallowed)
+    hyb = _dispatch_model(in_channels=8)
+    cc = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 8, 8, 4))
+    hybrid = run(hyb, "hybrid", c_concat=[cc], c_crossattn=[c1])
+    np.testing.assert_array_equal(
+        run(hyb, "hybrid-time", c_concat=[cc], c_crossattn=[c1], s=y),
+        hybrid)
+    np.testing.assert_array_equal(
+        run(hyb, "hybrid-adm", c_concat=[cc], c_crossattn=[c1], c_adm=y),
+        hybrid)
+    np.testing.assert_array_equal(
+        run(hyb, "hybrid-time-adm", c_concat=[cc], c_crossattn=[c1],
+            c_adm=y, s=y), hybrid)
+    # the reference's asserts fire on the missing required args
+    with pytest.raises(AssertionError):
+        run(hyb, "hybrid-time", c_concat=[cc], c_crossattn=[c1])
+    with pytest.raises(AssertionError):
+        run(hyb, "hybrid-adm", c_concat=[cc], c_crossattn=[c1])
+    with pytest.raises(AssertionError):
+        run(hyb, "hybrid-time-adm", c_concat=[cc], c_crossattn=[c1], s=y)
+
+    # hybrid-adm-mask: optional c_concat (ddpm3d.py:749-753) — with it,
+    # ≡ hybrid; without, ≡ crossattn
+    np.testing.assert_array_equal(
+        run(hyb, "hybrid-adm-mask", c_concat=[cc], c_crossattn=[c1],
+            s=y, mask=y), hybrid)
+    crossattn = run(model, "crossattn", c_crossattn=[c1])
+    np.testing.assert_array_equal(
+        run(model, "hybrid-adm-mask", c_crossattn=[c1], s=y, mask=y),
+        crossattn)
+
+    # concat-time-mask / concat-adm-mask ≡ 'concat' (context=None)
+    cat = _dispatch_model(in_channels=8, context_dim=None)
+    concat = run(cat, "concat", c_concat=[cc])
+    np.testing.assert_array_equal(
+        run(cat, "concat-time-mask", c_concat=[cc], s=y, mask=y), concat)
+    np.testing.assert_array_equal(
+        run(cat, "concat-adm-mask", c_concat=[cc], s=y, mask=y), concat)
+    # concat-adm-mask tolerates c_concat=None (ddpm3d.py:742-746)
+    np.testing.assert_array_equal(
+        run(plain, "concat-adm-mask", s=y, mask=y), uncond)
+
     with pytest.raises(NotImplementedError, match="unknown"):
-        model.apply_model(model.unet_params, x, ts, conditioning_key="bogus")
+        run(model, "bogus")
 
 
-def test_config_rejects_unshipped_conditioning_key():
-    """The YAML surface rejects unshipped conditioning keys at parse time
-    with the key named (no silent crossattn fallback)."""
+def test_config_conditioning_key_surface():
+    """The YAML surface accepts every reference DiffusionWrapper mode and
+    rejects non-reference keys at parse time with the key named."""
     from moca_tpu.config import DiffusionParams
+    from moca_tpu.models.latent_diffusion import (
+        IMPLEMENTED_CONDITIONING_KEYS, VESTIGIAL_CONDITIONING_KEYS)
 
-    assert DiffusionParams(conditioning_key="hybrid").conditioning_key == "hybrid"
-    assert (DiffusionParams(conditioning_key="resblockcond")
-            .conditioning_key == "resblockcond")
-    with pytest.raises(NotImplementedError, match="adm"):
-        DiffusionParams(conditioning_key="adm")
+    for key in IMPLEMENTED_CONDITIONING_KEYS:
+        assert DiffusionParams(conditioning_key=key).conditioning_key == key
+    assert set(VESTIGIAL_CONDITIONING_KEYS) < set(
+        IMPLEMENTED_CONDITIONING_KEYS)
     with pytest.raises(NotImplementedError, match="wavelet"):
         DiffusionParams(conditioning_key="wavelet")
