@@ -386,10 +386,10 @@ def main():
                      "fresh-process on-chip measurement, they are NOT from "
                      "this run",
             "stale_fifo_sec_per_frame": 1.804,
-            "stale_t2v_clip_s": 11.9,
-            "stale_source": "docs/ROUND4.md tail-session HEAD re-bench "
-                            "(guarded fast softmax incl. denominator "
-                            "check, 1.804); t2v from the r3 kernels",
+            "stale_t2v_clip_s": 11.7,
+            "stale_source": "docs/ROUND4.md final HEAD re-bench (both "
+                            "sections fresh in one driver-equivalent run: "
+                            "fifo 1.804 MFU 58.8, t2v 11.696)",
         }))
         return
     if mode == "t2v":
