@@ -139,6 +139,12 @@ def main(args):
                 .convert("RGB")))
             for f in files
         ]
+        # one image per prompt, same contract as the reference
+        # (inference.py:83) — without it the stem-derived output names
+        # below would collide and silently overwrite videos
+        assert len(cond_images) == len(prompts), (
+            f"Error: conditional input ({len(cond_images)}) NOT match "
+            f"prompt ({len(prompts)})!")
         # outputs are named after the conditioning-image stem, like the
         # reference (inference.py:84)
         cond_names = [os.path.splitext(f)[0] for f in files]
@@ -174,7 +180,7 @@ def main(args):
         if cond_images is not None:
             # image tokens appended to the text context on the token axis
             # (inference.py:110-117)
-            j = (args.rank * per + i) % len(cond_images)
+            j = args.rank * per + i  # global prompt index == image index
             img = cond_images[j]
             img_tokens = model.get_image_embeds(img[None])
             name = cond_names[j]

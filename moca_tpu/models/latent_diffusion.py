@@ -110,6 +110,14 @@ class LatentDiffusion:
         'hybrid-time-adm' assert c_adm, 'hybrid-time' asserts s, 'adm'
         subscripts c_crossattn), and `_swallow()` discarding the y/s/mask
         values exactly where the reference network discards them.
+
+        KWARGS QUIRK (mirrored): DiffusionWrapper.forward forwards its
+        **kwargs — which carry `fps` (and `no_temporal_attn`) from
+        apply_model, ddpm3d.py:512-522 — ONLY in the 'concat' (:709) and
+        'crossattn' (:712) branches. Every other mode calls the U-Net
+        without them, so an fps-conditioned model embeds the DEFAULT
+        fps=16 regardless of the requested value. We reproduce that
+        exactly: `fps`/**kwargs reach the U-Net only for concat/crossattn.
         """
         key = conditioning_key
 
@@ -131,15 +139,18 @@ class LatentDiffusion:
             here (our Flax __call__ has no kwargs sink)."""
             return None
 
-        unet = lambda xin, ctx: self._unet.apply(  # noqa: E731
-            params, xin, t_frames, ctx, fps=fps, **kwargs)
+        def unet(xin, ctx, fwd_kwargs=False):
+            if fwd_kwargs:  # 'concat'/'crossattn' only (ddpm3d.py:709,712)
+                return self._unet.apply(params, xin, t_frames, ctx,
+                                        fps=fps, **kwargs)
+            return self._unet.apply(params, xin, t_frames, ctx)
 
         if key is None:
             return unet(x, None)
         if key == "concat":
-            return unet(cat_x(), None)
+            return unet(cat_x(), None, fwd_kwargs=True)
         if key == "crossattn":
-            return unet(x, cat_c())
+            return unet(x, cat_c(), fwd_kwargs=True)
         if key == "hybrid":
             return unet(cat_x(), cat_c())
         if key == "resblockcond":

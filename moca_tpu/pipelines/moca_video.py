@@ -189,9 +189,9 @@ class MoCAVideoPipeline:
         decode_batch=8 on a v5e-8), mirroring funcs_mp.py's per-rank
         decode (funcs_mp.py:221-236) without the process fan-out."""
         if self.mesh is not None and heads.shape[0] % self.mesh.size == 0:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            s = NamedSharding(self.mesh, P(("dp", "fifo")))
-            heads = jax.lax.with_sharding_constraint(heads, s)
+            from moca_tpu.parallel.mesh import shard_batch
+            heads = jax.lax.with_sharding_constraint(
+                heads, shard_batch(self.mesh, axes=("dp", "fifo")))
         return jnp.clip(
             self.model.decode_single(heads, params=vae_params), -1.0, 1.0)
 

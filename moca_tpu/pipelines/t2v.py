@@ -120,12 +120,20 @@ class T2VPipeline:
 
     @functools.partial(tuned_jit, static_argnums=(0,))
     def _decode(self, vae_params, latents):
-        if self.mesh is not None and latents.shape[0] % self.mesh.size == 0:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            latents = jax.lax.with_sharding_constraint(
-                latents, NamedSharding(self.mesh, P(("dp", "fifo"))))
-        return jnp.clip(
-            self.model.decode_latents(latents, params=vae_params), -1.0, 1.0)
+        """Batched VAE decode ([B,T,h,w,4] → [B,T,H,W,3], clipped).
+
+        Under a mesh the FLATTENED B·T frame rows are sharded, not the
+        prompt axis: with --bs 4 on 8 chips the 4-row prompt batch can't
+        tile the mesh, but its 64 per-frame decodes can (the VAE is 2D
+        per-frame — decode_first_stage_2DAE, ddpm3d.py:556-562)."""
+        b, t = latents.shape[:2]
+        flat = latents.reshape((b * t,) + latents.shape[2:])
+        if self.mesh is not None and flat.shape[0] % self.mesh.size == 0:
+            from moca_tpu.parallel.mesh import shard_batch
+            flat = jax.lax.with_sharding_constraint(
+                flat, shard_batch(self.mesh, axes=("dp", "fifo")))
+        x = self.model.decode_single(flat, params=vae_params)
+        return jnp.clip(x.reshape((b, t) + x.shape[1:]), -1.0, 1.0)
 
     def sample_latents_from_context(
         self, ctx: jnp.ndarray, uc: Optional[jnp.ndarray], key: jax.Array,
@@ -230,9 +238,13 @@ class T2VPipeline:
 @functools.partial(tuned_jit, static_argnums=(0,))
 def _ddim_from_xt_jit(pipe: T2VPipeline, params, contexts, x_T, key):
     ctx, uc = contexts
+    # full CFG-variant set: FreeInit re-sampling iterations must guide
+    # exactly like the first draw (the reference re-enters sampler.sample
+    # with the same uc_type/temporal args every iteration)
     eps_fn = make_cfg_eps_fn(
         pipe._unet_apply(), params,
-        ctx, uc, pipe.guidance_scale, fps=pipe.fps)
+        ctx, uc, pipe.guidance_scale, fps=pipe.fps, uc_type=pipe.uc_type,
+        temporal_guidance_scale=pipe.temporal_cfg_scale)
     return ddim_sample(eps_fn, pipe.sch, x_T.shape, key, x_T=x_T)
 
 

@@ -126,8 +126,6 @@ def build_t2v_step(small: bool, batch: int):
     → 2·B interleaved CFG rows sharded over (1, 8) — the
     `cli/inference.py --bs B --mesh 1,8` path (ref: inference.py:92-101 +
     ddp_wrapper.py's one-process-per-GPU contiguous split)."""
-    import numpy as np
-
     from moca_tpu.models.unet3d import UNet3D, UNetConfig
     from moca_tpu.parallel.mesh import make_mesh, make_sharded_unet_apply
     from moca_tpu.sampling.ddim import (ddim_step_math, make_cfg_eps_fn,

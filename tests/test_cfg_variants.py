@@ -335,6 +335,36 @@ def test_apply_model_vestigial_keys_reference_semantics():
         run(model, "bogus")
 
 
+def test_apply_model_kwargs_quirk_fps_only_concat_crossattn():
+    """DiffusionWrapper.forward forwards its **kwargs (carrying fps) ONLY
+    in the 'concat' (ddpm3d.py:709) and 'crossattn' (:712) branches; every
+    other mode calls the U-Net without them, so an fps-conditioned model
+    embeds the default fps=16 whatever the caller asked for. Mirror-pin
+    both sides of the quirk."""
+    model = _dispatch_model()
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 4))
+    ts = jnp.full((1, 2), 500, jnp.int32)
+    c1 = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
+
+    def run(m, key, **kw):
+        return np.asarray(m.apply_model(m.unet_params, x, ts,
+                                        conditioning_key=key, **kw))
+
+    # crossattn: fps reaches the fps_cond embedding
+    assert not np.allclose(
+        run(model, "crossattn", c_crossattn=[c1], fps=99),
+        run(model, "crossattn", c_crossattn=[c1], fps=16))
+    # hybrid (and every non-concat/crossattn mode): fps is dropped
+    hyb = _dispatch_model(in_channels=8)
+    cc = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 8, 8, 4))
+    np.testing.assert_array_equal(
+        run(hyb, "hybrid", c_concat=[cc], c_crossattn=[c1], fps=99),
+        run(hyb, "hybrid", c_concat=[cc], c_crossattn=[c1], fps=16))
+    np.testing.assert_array_equal(
+        run(model, "resblockcond", c_crossattn=[c1], fps=99),
+        run(model, "resblockcond", c_crossattn=[c1], fps=16))
+
+
 def test_config_conditioning_key_surface():
     """The YAML surface accepts every reference DiffusionWrapper mode and
     rejects non-reference keys at parse time with the key named."""

@@ -124,6 +124,31 @@ def test_i2v_image_tokens_change_output(tiny_i2v_setup, monkeypatch,
         model.unet_params = orig
 
 
+def test_i2v_rejects_prompt_image_count_mismatch(tiny_i2v_setup,
+                                                 monkeypatch, tmp_path):
+    """One conditioning image per prompt (the reference's assert,
+    inference.py:83) — a mismatch must fail loudly instead of wrapping
+    around and overwriting stem-named outputs."""
+    model, cfg = tiny_i2v_setup
+    monkeypatch.setattr(inf, "load_model_config", lambda *a, **k: cfg)
+    monkeypatch.setattr(inf, "_load_i2v_model", lambda *a, **k: model)
+    monkeypatch.setattr(inf, "load_tokenizer", lambda *a: HashTokenizer())
+    prompt_file = tmp_path / "prompts.txt"
+    prompt_file.write_text("a red fox\na blue bird\na green frog\n")
+    img_dir = tmp_path / "cond"
+    _write_images(str(img_dir), n=2)  # 3 prompts, 2 images
+    args = inf.build_parser().parse_args([
+        "--ckpt_path", "/nonexistent.ckpt",
+        "--prompt_file", str(prompt_file),
+        "--savedir", str(tmp_path / "out"),
+        "--mode", "i2v", "--cond_input", str(img_dir),
+        "--height", str(HEIGHT), "--width", str(WIDTH),
+        "--frames", str(F), "--ddim_steps", str(F),
+    ])
+    with pytest.raises(AssertionError, match="NOT match"):
+        inf.main(args)
+
+
 def test_i2v_requires_cond_image_dir(tiny_i2v_setup, monkeypatch, tmp_path):
     model, cfg = tiny_i2v_setup
     monkeypatch.setattr(inf, "load_model_config", lambda *a, **k: cfg)

@@ -62,6 +62,34 @@ def test_t2v_pipeline_batched_prompts(tiny_model):
                                atol=1e-4)
 
 
+def test_freeinit_resample_honors_cfg_variants(tiny_model):
+    """The FreeInit re-sample entry (_ddim_from_xt_jit, iterations 2+) must
+    guide with the SAME uc_type as the first draw (regression: it used to
+    drop uc_type/temporal_cfg_scale, silently reverting re-samples to
+    standard CFG)."""
+    import dataclasses
+
+    from test_models import randomize_zero_params
+
+    from moca_tpu.pipelines.t2v import ddim_from_xt
+
+    orig = tiny_model.unet_params
+    tiny_model.unet_params = randomize_zero_params(orig)
+    try:
+        pipe = T2VPipeline.build(tiny_model, HashTokenizer(),
+                                 num_steps=F * N, guidance_scale=7.5)
+        ctx = pipe.encode_prompts(["a cat"])
+        uc = pipe.uncond_context(1, like=ctx)
+        x_T = jax.random.normal(jax.random.PRNGKey(3),
+                                (1, F, HEIGHT // 8, WIDTH // 8, 4))
+        base, _ = ddim_from_xt(pipe, (ctx, uc), x_T)
+        alt = dataclasses.replace(pipe, uc_type="cfg_original")
+        out, _ = ddim_from_xt(alt, (ctx, uc), x_T)
+        assert not np.allclose(np.asarray(base), np.asarray(out))
+    finally:
+        tiny_model.unet_params = orig
+
+
 def test_moca_pipeline_prompt_mode(tiny_model, tmp_path):
     pipe = MoCAVideoPipeline(
         tiny_model, HashTokenizer(), video_length=F, num_partitions=N,
