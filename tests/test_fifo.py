@@ -113,6 +113,58 @@ def test_parallel_snapshot_equals_sequential_sweep(sch, lookahead):
     np.testing.assert_allclose(par, seq, rtol=1e-6)
 
 
+@pytest.mark.parametrize("f,n", [(4, 2), (8, 2), (8, 4), (16, 4), (4, 6),
+                                 (12, 3), (2, 2)])
+@pytest.mark.parametrize("lookahead", [True, False])
+def test_plan_and_scatter_geometry_fuzz(f, n, lookahead):
+    """Geometry fuzz over (f, n, lookahead): the plan invariants, the
+    reference queue-index formula (funcs.py:63-77), and the
+    parallel-scatter ≡ reversed-sequential-sweep equivalence
+    (funcs.py:306-354) must hold at EVERY geometry, not just the f=4/n=2
+    unit case and the f=16/n=4 flagship."""
+    s = schedule.make_schedule(ddim_num_steps=f * n, ddim_eta=1.0)
+    ts = np.asarray(s.ddim_timesteps)
+    plan = fifo.make_fifo_plan(ts, f, n, lookahead)
+    S, half = f * n, f // 2
+
+    # -- plan invariants
+    assert plan.queue_length == S + (half if lookahead else 0)
+    assert plan.num_windows == (2 * n if lookahead else n)
+    assert plan.head_slot == (half if lookahead else 0)
+    step = half if lookahead else f
+    np.testing.assert_array_equal(plan.window_starts,
+                                  np.arange(plan.num_windows) * step)
+    assert plan.window_starts[-1] + f == plan.queue_length
+    if lookahead:
+        np.testing.assert_array_equal(plan.timesteps[:half], ts[0])
+        np.testing.assert_array_equal(plan.indices[:half], 0)
+        np.testing.assert_array_equal(plan.timesteps[half:], ts)
+
+    # -- reference queue-index formula at several source lengths
+    for t0 in (1, max(1, S // 2), S, S + 3):
+        frame_idx, idx = fifo.queue_frame_indices(plan, t0)
+        expect = [min(max(0, i - (S - t0)), t0 - 1) for i in range(S)]
+        body = frame_idx[half:] if lookahead else frame_idx
+        np.testing.assert_array_equal(body, expect)
+
+    # -- scatter ≡ reversed sequential sweep
+    rng = np.random.default_rng(f * 100 + n)
+    latents = rng.normal(
+        size=(1, plan.queue_length, 2, 2, 1)).astype(np.float32)
+
+    def window_op(window, rank):
+        return window * 0.5 + np.tanh(window) * (rank + 1) * 0.1
+
+    seq = _sequential_sweep(latents, plan, window_op)
+    windows = np.stack(
+        [latents[:, s0 : s0 + f] for s0 in plan.window_starts], axis=0)
+    outs = np.stack(
+        [window_op(windows[r], r) for r in range(plan.num_windows)], axis=0)
+    par = np.asarray(
+        fifo._scatter_windows(jnp.asarray(latents), jnp.asarray(outs), plan))
+    np.testing.assert_allclose(par, seq, rtol=1e-6)
+
+
 def test_fifo_step_smoke(sch):
     plan = _plan(sch, True)
     B, h, w, C = 1, 4, 4, 2
