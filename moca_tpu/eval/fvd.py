@@ -1,0 +1,97 @@
+"""FVD (Fréchet Video Distance, Unterthiner et al. 2018).
+
+The reference defers FVD to the `common_metrics_on_video_quality` git
+submodule (.gitmodules:1-3), whose `calculate_fvd` fits Gaussians to I3D
+features of the two video sets and reports the Fréchet distance. The
+submodule is not vendored in the reference checkout and its pretrained I3D
+weights do not exist in this environment, so — exactly like LPIPS in
+`eval/metrics.py` — the math is native here and only the feature extractor
+is supplied by the caller (`feature_fn`), weights-gated.
+
+All statistics run in numpy float64: FVD is an offline metric over a few
+hundred feature vectors, and the matrix square root is numerically
+delicate in float32. The square root of the (non-symmetric) product
+Σ1·Σ2 is computed via the standard PSD similarity transform
+sqrtm(Σ1·Σ2) ~ sqrtm(A·Σ2·A) with A = sqrtm(Σ1), which needs only
+symmetric eigendecompositions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import numpy as np
+
+
+def _psd_sqrt(mat: np.ndarray, eps: float = 1e-12) -> np.ndarray:
+    """Symmetric PSD square root via eigendecomposition (clipping the tiny
+    negative eigenvalues that finite-sample covariances produce)."""
+    vals, vecs = np.linalg.eigh((mat + mat.T) / 2.0)
+    vals = np.clip(vals, 0.0, None)
+    return (vecs * np.sqrt(vals + eps)) @ vecs.T
+
+
+def gaussian_stats(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Mean and covariance of a feature matrix [N, D] (rowvar=False,
+    unbiased — matching scipy/torch Fréchet implementations)."""
+    feats = np.asarray(features, dtype=np.float64)
+    if feats.ndim != 2:
+        raise ValueError(f"features must be [N, D], got {feats.shape}")
+    if feats.shape[0] < 2:
+        raise ValueError("need ≥2 feature vectors to fit a covariance "
+                         f"(got {feats.shape[0]})")
+    mu = feats.mean(axis=0)
+    sigma = np.cov(feats, rowvar=False)
+    return mu, np.atleast_2d(sigma)
+
+
+def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
+                     mu2: np.ndarray, sigma2: np.ndarray) -> float:
+    """d² between N(mu1, Σ1) and N(mu2, Σ2):
+
+        ||μ1−μ2||² + tr(Σ1 + Σ2 − 2·sqrtm(Σ1·Σ2))
+
+    tr(sqrtm(Σ1·Σ2)) is evaluated as Σ√λ_i of the symmetric PSD matrix
+    A·Σ2·A (A = sqrtm(Σ1)), which has the same eigenvalues as Σ1·Σ2.
+    """
+    mu1 = np.asarray(mu1, np.float64).ravel()
+    mu2 = np.asarray(mu2, np.float64).ravel()
+    sigma1 = np.atleast_2d(np.asarray(sigma1, np.float64))
+    sigma2 = np.atleast_2d(np.asarray(sigma2, np.float64))
+    a = _psd_sqrt(sigma1)
+    inner = a @ ((sigma2 + sigma2.T) / 2.0) @ a
+    vals = np.linalg.eigvalsh((inner + inner.T) / 2.0)
+    tr_sqrt = np.sum(np.sqrt(np.clip(vals, 0.0, None)))
+    diff = mu1 - mu2
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2.0 * tr_sqrt)
+
+
+def fvd_from_features(features_a: np.ndarray,
+                      features_b: np.ndarray) -> float:
+    """FVD given per-video feature vectors [N, D] for each set."""
+    mu_a, sigma_a = gaussian_stats(features_a)
+    mu_b, sigma_b = gaussian_stats(features_b)
+    return frechet_distance(mu_a, sigma_a, mu_b, sigma_b)
+
+
+def fvd(videos_a: np.ndarray, videos_b: np.ndarray,
+        feature_fn: Callable[[np.ndarray], np.ndarray],
+        batch_size: int = 8) -> float:
+    """FVD between two video sets [N, T, H, W, C] in [0, 1].
+
+    `feature_fn` maps a video batch [B, T, H, W, C] → [B, D] (e.g. an I3D
+    logits/pool head — supply converted weights the same way LPIPS takes
+    `convert_lpips_weights` output). Batched on the host; features are
+    concatenated before the Gaussian fit.
+    """
+
+    def extract(videos):
+        videos = np.asarray(videos)
+        if videos.ndim != 5:
+            raise ValueError(f"videos must be [N,T,H,W,C], got {videos.shape}")
+        chunks = [np.asarray(feature_fn(videos[i:i + batch_size]))
+                  for i in range(0, videos.shape[0], batch_size)]
+        return np.concatenate(chunks, axis=0)
+
+    return fvd_from_features(extract(videos_a), extract(videos_b))

@@ -122,6 +122,74 @@ def test_clip_text_embed_output_mode():
 
 
 # ---------------------------------------------------------------------------
+# FVD (Fréchet Video Distance)
+# ---------------------------------------------------------------------------
+
+def test_frechet_distance_closed_form_diagonal():
+    """For diagonal Gaussians d² = ||Δμ||² + Σ(√d1−√d2)²."""
+    from moca_tpu.eval.fvd import frechet_distance
+    rng = np.random.default_rng(0)
+    d1 = rng.uniform(0.5, 2.0, 8)
+    d2 = rng.uniform(0.5, 2.0, 8)
+    mu1 = rng.standard_normal(8)
+    mu2 = rng.standard_normal(8)
+    got = frechet_distance(mu1, np.diag(d1), mu2, np.diag(d2))
+    want = np.sum((mu1 - mu2) ** 2) + np.sum((np.sqrt(d1) - np.sqrt(d2)) ** 2)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_frechet_distance_full_covariance_vs_scipy():
+    """Cross-check the eigh-based tr(sqrtm(Σ1Σ2)) against scipy.linalg.sqrtm
+    on random full covariances (gated on scipy being importable)."""
+    import pytest
+    sqrtm = pytest.importorskip("scipy.linalg").sqrtm
+    from moca_tpu.eval.fvd import frechet_distance
+    rng = np.random.default_rng(1)
+    for trial in range(3):
+        a = rng.standard_normal((6, 6))
+        b = rng.standard_normal((6, 6))
+        s1, s2 = a @ a.T + 0.1 * np.eye(6), b @ b.T + 0.1 * np.eye(6)
+        mu1, mu2 = rng.standard_normal(6), rng.standard_normal(6)
+        want = (np.sum((mu1 - mu2) ** 2) + np.trace(s1) + np.trace(s2)
+                - 2.0 * np.trace(np.real(sqrtm(s1 @ s2))))
+        got = frechet_distance(mu1, s1, mu2, s2)
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+
+def test_fvd_from_features_identity_symmetry_and_shift():
+    from moca_tpu.eval.fvd import fvd_from_features
+    rng = np.random.default_rng(2)
+    feats = rng.standard_normal((512, 16))
+    assert abs(fvd_from_features(feats, feats)) < 1e-9
+    shifted = rng.standard_normal((512, 16)) + 2.0
+    d_ab = fvd_from_features(feats, shifted)
+    d_ba = fvd_from_features(shifted, feats)
+    np.testing.assert_allclose(d_ab, d_ba, rtol=1e-9)
+    # dominated by the mean shift: ||Δμ||² ≈ 16·4 = 64 for unit-variance sets
+    assert 40 < d_ab < 90
+
+
+def test_fvd_end_to_end_feature_fn_and_batching():
+    """fvd() with a host feature_fn: batch_size must not change the result,
+    and identical video sets score ~0."""
+    from moca_tpu.eval.fvd import fvd
+    rng = np.random.default_rng(3)
+    vids_a = rng.uniform(size=(10, 4, 8, 8, 3))
+    vids_b = rng.uniform(size=(10, 4, 8, 8, 3)) * 0.5
+
+    def feature_fn(batch):  # [B,T,H,W,C] → [B, 12] spatial moment features
+        flat = batch.reshape(batch.shape[0], batch.shape[1], -1)
+        return np.concatenate([flat.mean(-1), flat.std(-1),
+                               flat.max(-1)], axis=-1)
+
+    d_full = fvd(vids_a, vids_b, feature_fn, batch_size=10)
+    d_chunked = fvd(vids_a, vids_b, feature_fn, batch_size=3)
+    np.testing.assert_allclose(d_full, d_chunked, rtol=1e-12)
+    assert d_full > 0
+    assert abs(fvd(vids_a, vids_a, feature_fn)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
 # LPIPS plumbing
 # ---------------------------------------------------------------------------
 

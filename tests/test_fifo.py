@@ -237,3 +237,61 @@ def test_advance_prompt_index():
     assert seen[7:] == [1, 1]
     # clamped at the end even if i keeps growing
     assert fifo.advance_prompt_index(100, S, f, cum, 1) == 1
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_advance_prompt_index_reference_loop_fuzz(seed):
+    """Fuzz the scene-switch schedule against a verbatim simulation of the
+    reference's multiprompt loop (funcs.py:425-429: `if i - (S - f) >=
+    prompt_lengths[j]: j += 1`, one check per iteration) across random
+    (f, n) geometries and scene-length vectors — including zero-length
+    scenes, which the reference skips one-per-iteration rather than all at
+    once. Within the canonical `cum[-1] + S - f` iteration count the
+    reference never indexes past the end, so ours must match exactly;
+    beyond it (inconsistent lengths) ours clamps (the documented
+    divergence)."""
+    rng = np.random.default_rng(seed)
+    f = int(rng.choice([2, 4, 8, 16]))
+    n = int(rng.choice([2, 3, 4]))
+    S = f * n
+    k = int(rng.integers(1, 6))
+    lengths = rng.integers(0, 15, size=k)
+    lengths[-1] = max(1, lengths[-1])  # a real final scene
+    cum = np.cumsum(lengths)
+    total = int(cum[-1]) + S - f
+    j_ref, j_ours = 0, 0
+    for i in range(total):
+        if i - (S - f) >= cum[j_ref]:
+            j_ref += 1  # the reference's unguarded advance
+        j_ours = fifo.advance_prompt_index(i, S, f, cum, j_ours)
+        assert j_ref < len(cum), "canonical loop must not overrun"
+        assert j_ours == j_ref, (i, f, n, lengths)
+    # past the canonical loop the reference would overrun; we clamp
+    assert fifo.advance_prompt_index(total + f, S, f, cum, j_ours) \
+        == len(cum) - 1
+
+
+@pytest.mark.parametrize("f,n,lookahead", [(4, 2, True), (4, 2, False),
+                                           (16, 4, True), (8, 3, False)])
+def test_mask_queue_shift_closed_form(f, n, lookahead):
+    """DAVIS mask-queue evolution: the initial queue maps source masks via
+    queue_frame_indices and every shift appends the LAST source mask
+    (funcs.py:115-116 — the reference's tail write `masks[:,:,-1] =
+    davis_data[1][:,:,-1]` aliases the just-shifted queue, so the tail
+    stays pinned at masks[T0-1] forever). Closed form after k shifts:
+    slot q holds masks[frame_idx[q+k]], with frame_idx extended by T0-1
+    past the queue end."""
+    s = schedule.make_schedule(ddim_num_steps=f * n, ddim_eta=1.0)
+    plan = fifo.make_fifo_plan(np.asarray(s.ddim_timesteps), f, n, lookahead)
+    rng = np.random.default_rng(f + n)
+    for t0 in (1, f, f * n):
+        masks = (rng.uniform(size=(t0, 3, 5)) > 0.5).astype(np.float32)
+        frame_idx, _ = fifo.queue_frame_indices(plan, t0)
+        q = jnp.asarray(masks[frame_idx][None, ..., None])
+        tail = jnp.asarray(masks[-1][None, ..., None])
+        ext = np.concatenate(
+            [frame_idx, np.full(10, t0 - 1, np.int64)])
+        for k in range(1, 8):
+            q = fifo.shift_masks(q, tail)
+            want = masks[ext[k : k + plan.queue_length]][None, ..., None]
+            np.testing.assert_array_equal(np.asarray(q), want)
