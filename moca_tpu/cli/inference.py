@@ -130,15 +130,18 @@ def main(args):
     cond_names = None
     if args.mode == "i2v":
         assert args.cond_image_dir, "--cond_image_dir required for i2v"
-        from moca_tpu.io.video import uint8_to_tensor
-        from PIL import Image
+        from moca_tpu.io.video import load_image_batch
         files = sorted(os.listdir(args.cond_image_dir))
-        cond_images = [
-            uint8_to_tensor(np.asarray(
-                Image.open(os.path.join(args.cond_image_dir, f))
-                .convert("RGB")))
-            for f in files
-        ]
+        # the reference's exact chain (inference.py:113): resize the raw
+        # image to the GENERATION size (H, W) with cv2 bilinear before the
+        # embedder's own 224 bicubic preprocessing. RGB slice: the loader
+        # keeps RGBA like the reference's convert, but the reference's own
+        # png/jpg i2v path then CRASHES in kornia's 3-channel normalize
+        # (condition.py:324-332) — only its mp4 path is runnable; we take
+        # the first three channels instead (DECISIONS.md).
+        cond_images = load_image_batch(
+            [os.path.join(args.cond_image_dir, f) for f in files],
+            (args.height, args.width))[..., :3]
         # one image per prompt, same contract as the reference
         # (inference.py:83) — without it the stem-derived output names
         # below would collide and silently overwrite videos

@@ -98,7 +98,11 @@ def load_conditioning_image(path: str, latent_hw: Tuple[int, int]) -> np.ndarray
 def load_image_batch(paths: Sequence[str],
                      image_size: Tuple[int, int] = (256, 256)) -> np.ndarray:
     """Images (or first frames of mp4s) → [B, H, W, C] float32 in [-1, 1]
-    (funcs.py:576-597; png/jpg keep RGBA like the reference's convert)."""
+    (funcs.py:576-597; png/jpg keep RGBA like the reference's convert, and
+    the resize is the reference's exact chain: float32 cv2.INTER_LINEAR on
+    the raw 0..255 values, normalized AFTER — funcs.py:587-595)."""
+    import cv2
+
     batch: List[np.ndarray] = []
     for path in paths:
         ext = os.path.splitext(path)[1].lower()
@@ -109,9 +113,10 @@ def load_image_batch(paths: Sequence[str],
         if ext not in (".png", ".jpg", ".jpeg"):
             raise NotImplementedError(
                 f"image loading supports mp4/png/jpg, got {ext}")
-        img = Image.open(path).convert("RGBA")
-        img = img.resize((image_size[1], image_size[0]), Image.BILINEAR)
-        batch.append(uint8_to_tensor(np.asarray(img, np.uint8)))
+        rgba = np.asarray(Image.open(path).convert("RGBA"), np.float32)
+        rgba = cv2.resize(rgba, (image_size[1], image_size[0]),
+                          interpolation=cv2.INTER_LINEAR)
+        batch.append((rgba / 255.0 - 0.5) * 2.0)
     return np.stack(batch)
 
 

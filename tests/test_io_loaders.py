@@ -78,3 +78,43 @@ def test_load_conditioning_image(tmp_path):
     # latent-res RGBA in [0,1] (videocrafter_main.py:90-98 ToTensor range)
     assert img.shape == (40, 64, 4)
     assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_load_image_batch_reference_chain(tmp_path):
+    """load_image_batch must follow funcs.py:586-595 exactly: RGBA kept,
+    float32 BEFORE the cv2.INTER_LINEAR resize to (H, W), normalization to
+    [-1, 1] AFTER."""
+    import cv2
+    from moca_tpu.io.video import load_image_batch
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (7, 5, 4), np.uint8)
+    p = os.path.join(tmp_path, "img.png")
+    Image.fromarray(raw, mode="RGBA").save(p)
+
+    out = load_image_batch([p], image_size=(12, 9))  # (H, W)
+    assert out.shape == (1, 12, 9, 4)
+    # verbatim reference chain
+    want = np.asarray(Image.open(p).convert("RGBA"), np.float32)
+    want = cv2.resize(want, (9, 12), interpolation=cv2.INTER_LINEAR)
+    want = (want / 255.0 - 0.5) * 2.0
+    np.testing.assert_array_equal(out[0], want)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+
+    with pytest.raises(NotImplementedError):
+        load_image_batch([os.path.join(tmp_path, "x.bmp")])
+
+
+def test_load_image_batch_mp4_first_frame(tmp_path):
+    """The mp4 branch returns the FIRST frame at the requested size
+    (funcs.py:582-584)."""
+    import cv2
+    from moca_tpu.io.video import load_image_batch, save_video
+
+    frames = [np.full((16, 16, 3), v, np.float32) for v in (-0.5, 0.5)]
+    p = os.path.join(tmp_path, "v.mp4")
+    save_video(frames, p, fps=5)
+    out = load_image_batch([p], image_size=(8, 8))
+    assert out.shape == (1, 8, 8, 3)
+    # first frame is the dark one (codec-lossy, so approximate)
+    assert abs(out[0].mean() - (-0.5)) < 0.1
