@@ -79,19 +79,15 @@ def save_gif(frames: Sequence[np.ndarray], path: str, fps: int = 10):
 def load_conditioning_image(path: str, latent_hw: Tuple[int, int]) -> np.ndarray:
     """Concept image at LATENT resolution [h, w, 4] RGBA in [0, 1].
 
-    Matches videocrafter_main.py:86-98: resize+center-crop to (H/8, W/8),
-    ToTensor (0..1 range — note: NOT normalized to [-1,1]).
+    Matches videocrafter_main.py:90-98 exactly: `transforms.Resize((h, w))`
+    with a TUPLE squashes to exactly (h, w) — no aspect preservation — and
+    the following CenterCrop((h, w)) is a no-op; on PIL input torchvision's
+    bilinear Resize is PIL's own Image.BILINEAR. ToTensor keeps the 0..1
+    range (NOT normalized to [-1,1]).
     """
     h, w = latent_hw
     img = Image.open(path).convert("RGBA")
-    # resize then center crop (transforms.Resize + CenterCrop semantics)
-    sw, sh = img.size
-    scale = max(h / sh, w / sw)
-    img = img.resize((max(w, round(sw * scale)), max(h, round(sh * scale))),
-                     Image.BILINEAR)
-    left = (img.size[0] - w) // 2
-    top = (img.size[1] - h) // 2
-    img = img.crop((left, top, left + w, top + h))
+    img = img.resize((w, h), Image.BILINEAR)
     return np.asarray(img, np.float32) / 255.0
 
 

@@ -71,13 +71,30 @@ def test_load_prompts_real_csv():
 
 def test_load_conditioning_image(tmp_path):
     p = tmp_path / "cond.png"
-    Image.fromarray(
-        np.random.default_rng(0).integers(0, 255, (100, 80, 3), np.uint8)
-    ).save(p)
+    raw = np.random.default_rng(0).integers(0, 255, (100, 80, 3), np.uint8)
+    Image.fromarray(raw).save(p)
     img = load_conditioning_image(str(p), (40, 64))
     # latent-res RGBA in [0,1] (videocrafter_main.py:90-98 ToTensor range)
     assert img.shape == (40, 64, 4)
     assert img.min() >= 0.0 and img.max() <= 1.0
+    # exact chain: transforms.Resize((h,w)) with a TUPLE squashes to (h,w)
+    # — no aspect crop — and on PIL input it IS PIL's bilinear resize;
+    # CenterCrop((h,w)) is then a no-op (videocrafter_main.py:90-94)
+    want = np.asarray(
+        Image.open(p).convert("RGBA").resize((64, 40), Image.BILINEAR),
+        np.float32) / 255.0
+    np.testing.assert_array_equal(img, want)
+
+
+def test_load_conditioning_image_squashes_not_crops(tmp_path):
+    """A wide image's edge columns must SURVIVE (the reference squashes;
+    an aspect-preserving resize+crop would drop them)."""
+    p = tmp_path / "wide.png"
+    wide = np.zeros((10, 100, 3), np.uint8)
+    wide[:, :5] = 255  # bright left edge far outside any center crop
+    Image.fromarray(wide).save(p)
+    img = load_conditioning_image(str(p), (8, 16))
+    assert img[:, 0, :3].mean() > 0.5, "left edge was cropped away"
 
 
 def test_load_image_batch_reference_chain(tmp_path):
