@@ -243,7 +243,10 @@ def main(args):
             latents_dir=latents_dir, frame_callback=frame_cb, viz=viz,
             multiprompts=multiprompts)
         out = os.path.join(output_dir, prompt[:100])
-        keep = video[-(args.new_video_length // 2):]  # videocrafter_main.py:230
+        # videocrafter_main.py:230: video_frames[-new_video_length//2:] —
+        # the unary minus binds INSIDE the floor division, so odd N keeps
+        # ceil(N/2) tail frames (N=7 → 4), not N//2
+        keep = video[-args.new_video_length // 2:]
         save_video(keep, out + (".mp4" if args.use_mp4 else ".gif"),
                    fps=args.output_fps)
         log.info("wrote %s", out)

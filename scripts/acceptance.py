@@ -278,7 +278,8 @@ def stage_golden(args, report, cfg, trees, tok):
     # the reference CLI exports the LAST new_video_length//2 frames
     # (videocrafter_main.py:230: video_frames[-new_video_length//2:]) —
     # keep the SAME tail slice so stage_ssim compares aligned frames
-    frames = frames[-(args.new_video_length // 2):]
+    # NB -N//2 (floor), not -(N//2): odd N keeps ceil(N/2) tail frames
+    frames = frames[-args.new_video_length // 2:]
     arr = np.stack(frames)
     entry["frames"] = int(arr.shape[0])
     entry["finite"] = bool(np.isfinite(arr).all())

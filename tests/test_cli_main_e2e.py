@@ -82,6 +82,36 @@ def test_cli_main_prompt_mode(tiny_pipe, monkeypatch, tmp_path):
     assert lat.exists()
 
 
+def test_cli_main_odd_length_tail_slice(tiny_pipe, monkeypatch, tmp_path):
+    """videocrafter_main.py:230 keeps video_frames[-new_video_length//2:]
+    — unary minus INSIDE the floor division, so odd N exports ceil(N/2)
+    tail frames (N=3 → 2), not N//2 = 1."""
+    import cv2
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(cli_main, "load_pipeline", lambda a: tiny_pipe)
+    # new_video_length only drives the host loop count/slice — same jit
+    # shapes, no retrace of the module-scoped pipeline
+    monkeypatch.setattr(tiny_pipe, "new_video_length", 3)
+    cond = tmp_path / "cat.png"
+    Image.fromarray(np.full((16, 16, 4), 128, np.uint8), "RGBA").save(cond)
+    csv = tmp_path / "prompts.csv"
+    csv.write_text(
+        "prompt,conditioned_object,conditioned_image_path,"
+        "conditioned_prompt,gamma\n"
+        f"a red fox,cat,{cond},a cat,0.4\n")
+    out_root = tmp_path / "out"
+    args = cli_main.build_parser().parse_args([
+        "--height", str(HEIGHT), "--width", str(WIDTH),
+        "--video_length", str(F), "-n", str(N), "-l", "3",
+        "--prompt_file", str(csv), "--output_dir", str(out_root),
+        "--no_save_frames"])
+    cli_main.main(args)
+    cap = cv2.VideoCapture(str(out_root / "cat" / "a red fox.mp4"))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 2  # ceil(3/2)
+    cap.release()
+
+
 def test_cli_main_davis_mode(tiny_pipe, monkeypatch, tmp_path):
     monkeypatch.chdir(tmp_path)
     monkeypatch.setattr(cli_main, "load_pipeline", lambda a: tiny_pipe)
