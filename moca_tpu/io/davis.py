@@ -24,7 +24,11 @@ def load_davis_data(
     seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (frames [T,H,W,3] float in [-1,1] at 8×latent res,
-    masks [T,h,w] float binary at latent res)."""
+    masks [T,h,w] float binary at latent res).
+
+    sampling_strategy="random" draws from an explicit seeded generator
+    instead of the reference's global np.random (funcs.py:674) — RNG
+    discipline divergence, same distribution."""
     frames_dir = os.path.join(davis_root, "JPEGImages", "480p", video_name)
     masks_dir = os.path.join(davis_root, "Annotations", "480p", video_name)
     frame_files = sorted(f for f in os.listdir(frames_dir) if f.endswith(".jpg"))
@@ -43,14 +47,27 @@ def load_davis_data(
     else:
         raise ValueError(f"unknown sampling strategy {sampling_strategy}")
 
+    import cv2
+
     h, w = video_size
     frames, masks = [], []
     for i in idxs:
-        img = Image.open(os.path.join(frames_dir, frame_files[i])).convert("RGB")
-        img = img.resize((w * 8, h * 8), Image.LANCZOS)
-        frames.append(np.asarray(img, np.uint8))
+        # the reference's exact chain (funcs.py:694-702): RGBA uint8 →
+        # cv2.INTER_LANCZOS4 (only when dims differ) → RGB slice before the
+        # VAE encode (funcs.py:44-46). cv2 resizes channels independently,
+        # so RGBA-then-slice ≡ RGB, but the RESAMPLER matters: cv2 Lanczos4
+        # is sample-based (no antialias prefilter), unlike PIL's.
+        img = np.asarray(
+            Image.open(os.path.join(frames_dir, frame_files[i]))
+            .convert("RGBA"), np.uint8)
+        if img.shape[:2] != (h * 8, w * 8):
+            img = cv2.resize(img, (w * 8, h * 8),
+                             interpolation=cv2.INTER_LANCZOS4)
+        frames.append(img[..., :3])
+        # masks stay on PIL NEAREST like the reference (funcs.py:711-722)
         m = Image.open(os.path.join(masks_dir, mask_files[i])).convert("L")
-        m = m.resize((w, h), Image.NEAREST)
+        if m.size != (w, h):
+            m = m.resize((w, h), Image.NEAREST)
         masks.append((np.asarray(m) > 0).astype(np.float32))
     return uint8_to_tensor(np.stack(frames)), np.stack(masks)
 

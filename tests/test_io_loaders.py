@@ -135,3 +135,20 @@ def test_load_image_batch_mp4_first_frame(tmp_path):
     assert out.shape == (1, 8, 8, 3)
     # first frame is the dark one (codec-lossy, so approximate)
     assert abs(out[0].mean() - (-0.5)) < 0.1
+
+
+def test_load_davis_frames_reference_chain(davis_root):
+    """Frame resampling must be the reference's exact chain
+    (funcs.py:694-706): RGBA uint8 → cv2.INTER_LANCZOS4 → RGB slice →
+    (x/255 − 0.5)·2. cv2's Lanczos is sample-based (no antialias
+    prefilter), so PIL-Lanczos output would differ."""
+    import cv2
+    frames, _ = load_davis_data("bear", davis_root, video_size=(4, 8),
+                                video_frames=2)
+    fdir = os.path.join(davis_root, "JPEGImages", "480p", "bear")
+    f0 = sorted(os.listdir(fdir))[0]
+    raw = np.asarray(Image.open(os.path.join(fdir, f0)).convert("RGBA"),
+                     np.uint8)
+    want = cv2.resize(raw, (64, 32), interpolation=cv2.INTER_LANCZOS4)
+    want = (want[..., :3].astype(np.float32) / 255.0 - 0.5) * 2.0
+    np.testing.assert_allclose(frames[0], want, atol=1e-6)
