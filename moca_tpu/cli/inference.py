@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 from moca_tpu.config import load_model_config
-from moca_tpu.io.video import save_video
+from moca_tpu.io.video import save_video_grid
 from moca_tpu.models.convert import convert_checkpoint
 from moca_tpu.models.latent_diffusion import LatentDiffusion
 from moca_tpu.models.tokenizer import load_tokenizer
@@ -169,9 +169,11 @@ def main(args):
                           frames=args.frames, use_ddpm=args.ddim_steps <= 0)
             for prompt, video in zip(chunk, videos):
                 name = prompt[:100].replace("/", "_")
-                save_video([np.asarray(v) for v in video],
-                           os.path.join(args.savedir, f"{name}.mp4"),
-                           fps=args.savefps)
+                # the reference's make_grid layout, n_samples=1
+                # (funcs.py:600-612 via save_videos)
+                save_video_grid([[np.asarray(v) for v in video]],
+                                os.path.join(args.savedir, f"{name}.mp4"),
+                                fps=args.savefps)
             log.info("batch [%d:%d]/%d %.1fs", r0, r0 + len(chunk),
                      len(shard), time.time() - t0)
         return
@@ -187,6 +189,7 @@ def main(args):
             img = cond_images[j]
             img_tokens = model.get_image_embeds(img[None])
             name = cond_names[j]
+        samples = []
         for s in range(args.n_samples):
             key = jax.random.fold_in(
                 jax.random.PRNGKey(args.seed),
@@ -200,10 +203,12 @@ def main(args):
                              width=args.width, frames=args.frames,
                              image_tokens=img_tokens,
                              use_ddpm=args.ddim_steps <= 0)
-            suffix = f"_{s}" if args.n_samples > 1 else ""
-            save_video([np.asarray(v) for v in video],
-                       os.path.join(args.savedir, f"{name}{suffix}.mp4"),
-                       fps=args.savefps)
+            samples.append([np.asarray(v) for v in video])
+        # ONE mp4 per prompt, all n_samples side by side in a make_grid
+        # row — the reference's save_videos layout (funcs.py:600-612,
+        # inference.py:125)
+        save_video_grid(samples, os.path.join(args.savedir, f"{name}.mp4"),
+                        fps=args.savefps)
         log.info("[%d/%d] %.1fs %s", i + 1, len(shard), time.time() - t0,
                  prompt[:60])
 

@@ -76,6 +76,31 @@ def save_gif(frames: Sequence[np.ndarray], path: str, fps: int = 10):
     save_video(frames, path if path.endswith(".gif") else path + ".gif", fps)
 
 
+def save_video_grid(sample_videos: Sequence[Sequence[np.ndarray]],
+                    path: str, fps: int = 10, padding: int = 2):
+    """ONE video per prompt with the n_samples laid out side by side — the
+    reference's save_videos output layout (funcs.py:600-612:
+    torchvision.utils.make_grid(framesheet, nrow=n_samples) per time step,
+    default padding=2, pad value 0 in [-1,1] space → a 127-gray border,
+    also present around single-sample outputs).
+
+    sample_videos: n_samples sequences of [H, W, 3] float frames in [-1,1].
+    """
+    n = len(sample_videos)
+    t_len = len(sample_videos[0])
+    h, w, c = np.asarray(sample_videos[0][0]).shape
+    frames = []
+    for t in range(t_len):
+        grid = np.zeros(
+            (h + 2 * padding, n * (w + padding) + padding, c), np.float32)
+        for i in range(n):
+            x0 = padding + i * (w + padding)
+            grid[padding:padding + h, x0:x0 + w] = np.clip(
+                np.asarray(sample_videos[i][t], np.float32), -1.0, 1.0)
+        frames.append(grid)
+    save_video(frames, path, fps=fps)
+
+
 def load_conditioning_image(path: str, latent_hw: Tuple[int, int]) -> np.ndarray:
     """Concept image at LATENT resolution [h, w, 4] RGBA in [0, 1].
 

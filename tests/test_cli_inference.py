@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pytest
 
 import moca_tpu.cli.inference as inf
@@ -102,11 +103,38 @@ def test_inference_bs_mesh_e2e(tiny_setup, monkeypatch, tmp_path):
     assert all((savedir / v).stat().st_size > 0 for v in vids)
 
 
-def test_inference_n_samples_suffixes(tiny_setup, monkeypatch, tmp_path):
+def test_inference_n_samples_grid(tiny_setup, monkeypatch, tmp_path):
+    """n_samples ride ONE mp4 per prompt, laid out side by side with the
+    reference's make_grid geometry — padding=2 border all around, so
+    W = n·(w+2)+2, H = h+4 (funcs.py:600-612)."""
+    import cv2
+
     savedir = _run(["--n_samples", "2", "--num_processes", "3"],
                    tiny_setup, monkeypatch, tmp_path)
-    assert sorted(os.listdir(savedir)) == [
-        "a red fox_0.mp4", "a red fox_1.mp4"]
+    assert sorted(os.listdir(savedir)) == ["a red fox.mp4"]
+    cap = cv2.VideoCapture(str(savedir / "a red fox.mp4"))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 2 * (WIDTH + 2) + 2
+    assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == HEIGHT + 4
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == F
+    cap.release()
+
+
+def test_save_video_grid_layout(tmp_path):
+    """Pixel-exact make_grid replica: 127-gray border (pad value 0 in
+    [-1,1] space), samples in one row, uint8 truncation."""
+    from moca_tpu.io.video import save_video_grid
+    import cv2
+
+    a = [np.full((4, 6, 3), -1.0, np.float32)]   # black sample
+    b = [np.full((4, 6, 3), 1.0, np.float32)]    # white sample
+    p = tmp_path / "grid.gif"                    # gif = lossless palette
+    save_video_grid([a, b], str(p), fps=5)
+    import imageio
+    frame = np.asarray(imageio.mimread(str(p))[0])[..., :3]
+    assert frame.shape == (4 + 4, 2 * (6 + 2) + 2, 3)
+    assert (frame[0] == 127).all()               # border row
+    assert (frame[2:6, 2:8] == 0).all()          # sample 0 (black)
+    assert (frame[2:6, 10:16] == 255).all()      # sample 1 (white)
 
 
 def test_step_timer_summary(monkeypatch):
