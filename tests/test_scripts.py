@@ -74,13 +74,16 @@ def test_v2i_extracts_frames(tmp_path):
     save_video(frames, str(mp4), fps=10)
     outdir = tmp_path / "frames"
     r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "v2i.py"), str(mp4),
-         "--outdir", str(outdir), "--stride", "2"],
+        [sys.executable, os.path.join(REPO, "scripts", "v2i.py"),
+         "--video_path", str(mp4), "--output_dir", str(outdir),
+         "--frame_rate", "2", "--image_format", "png"],
         capture_output=True, text=True,
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stderr[-500:]
+    # reference flag surface + frame_{N:06d}.{format} naming (utils/v2i.py)
     pngs = sorted(os.listdir(outdir))
-    assert pngs == ["00000.png", "00001.png", "00002.png"]
+    assert pngs == ["frame_000000.png", "frame_000001.png",
+                    "frame_000002.png"]
 
 
 def test_generate_condition_images(tmp_path, monkeypatch):
