@@ -5,8 +5,10 @@ submodule (.gitmodules:1-3), whose `calculate_fvd` fits Gaussians to I3D
 features of the two video sets and reports the Fréchet distance. The
 submodule is not vendored in the reference checkout and its pretrained I3D
 weights do not exist in this environment, so — exactly like LPIPS in
-`eval/metrics.py` — the math is native here and only the feature extractor
-is supplied by the caller (`feature_fn`), weights-gated.
+`eval/metrics.py` — the math is native here and the feature extractor is
+weights-gated: `eval/i3d.py` replicates the submodule's InceptionI3d
+natively (`i3d_feature_fn(convert_i3d_weights(state_dict))` is the
+reference-equivalent `feature_fn`), or any caller-supplied extractor works.
 
 All statistics run in numpy float64: FVD is an offline metric over a few
 hundred feature vectors, and the matrix square root is numerically
@@ -80,10 +82,10 @@ def fvd(videos_a: np.ndarray, videos_b: np.ndarray,
         batch_size: int = 8) -> float:
     """FVD between two video sets [N, T, H, W, C] in [0, 1].
 
-    `feature_fn` maps a video batch [B, T, H, W, C] → [B, D] (e.g. an I3D
-    logits/pool head — supply converted weights the same way LPIPS takes
-    `convert_lpips_weights` output). Batched on the host; features are
-    concatenated before the Gaussian fit.
+    `feature_fn` maps a video batch [B, T, H, W, C] → [B, D] — use
+    `eval.i3d.i3d_feature_fn(convert_i3d_weights(sd))` for the reference's
+    I3D-400 logits features (weights-gated, like LPIPS). Batched on the
+    host; features are concatenated before the Gaussian fit.
     """
 
     def extract(videos):
