@@ -40,6 +40,9 @@ def main():
                    help="OpenCLIP ViT-H visual state_dict → CASS/relCASS")
     p.add_argument("--lpips_ckpt", default=None,
                    help="torch file with {'alexnet': sd, 'lpips': sd} → LPIPS-I/T")
+    p.add_argument("--i3d_ckpt", default=None,
+                   help="pytorch-i3d i3d_pretrained_400.pt state_dict → "
+                        "FVD(edited set, source set)")
     args = p.parse_args()
 
     from moca_tpu.cli.main import load_pipeline
@@ -102,7 +105,17 @@ def main():
             {k: v.numpy() for k, v in blob["lpips"].items()})
         lpips_fns = (lp_params, lp_lin, lpips_i, lpips_t)
 
+    i3d_fn = None
+    if args.i3d_ckpt:
+        import torch
+        from moca_tpu.eval.i3d import convert_i3d_weights, i3d_feature_fn
+
+        i3d_fn = i3d_feature_fn(convert_i3d_weights(
+            {k: v.numpy() for k, v in
+             torch.load(args.i3d_ckpt, map_location="cpu").items()}))
+
     entries, metrics = [], {}
+    fvd_src, fvd_out = [], []
     for idx in indices:
         row = prompts[idx]
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), idx)
@@ -128,7 +141,7 @@ def main():
         src_vid = None
         base_cache = os.path.join(args.out_dir, f"latents_{idx}",
                                   f"{pipe.num_inference_steps}.npz")
-        if (cass_fns or lpips_fns) and os.path.exists(base_cache):
+        if (cass_fns or lpips_fns or i3d_fn) and os.path.exists(base_cache):
             import jax.numpy as jnp
             base_lat = jnp.asarray(np.load(base_cache)["latents"])
             src_vid = np.asarray(pipe.model.decode_latents(base_lat))[0]
@@ -149,6 +162,11 @@ def main():
                 f_i(src_vid[:n], vid[:n], lp_params, lp_lin))
             metrics[idx]["lpips_t"] = float(f_t(vid, lp_params, lp_lin))
 
+        if i3d_fn is not None and src_vid is not None:
+            n = min(len(src_vid), len(vid))
+            fvd_src.append((np.asarray(src_vid[:n]) + 1) / 2)
+            fvd_out.append((np.asarray(vid[:n]) + 1) / 2)
+
         entries.append({"prompt": row["prompt"], "video_path": video_path})
 
     write_full_info(args.out_dir, entries)
@@ -159,6 +177,19 @@ def main():
             "CASS/relCASS follow moca_tpu's own x100 convention "
             "(eval/metrics.py); NOT directly comparable to the paper's "
             "published 4.93/1.23 — the paper ships no metric code")
+    if i3d_fn is not None:
+        # FVD is a SET metric (one Gaussian per side): needs ≥2 videos and
+        # uniform length ≥9 frames (the I3D temporal minimum, like the
+        # submodule's calculate_fvd)
+        t_min = min((v.shape[0] for v in fvd_src), default=0)
+        if len(fvd_src) >= 2 and t_min >= 9:
+            from moca_tpu.eval.fvd import fvd
+            metrics["_fvd_edited_vs_source"] = float(fvd(
+                np.stack([v[:t_min] for v in fvd_out]),
+                np.stack([v[:t_min] for v in fvd_src]), i3d_fn))
+        else:
+            metrics["_fvd_edited_vs_source"] = None
+
     with open(os.path.join(args.out_dir, f"metrics_rank{args.rank}.json"),
               "w") as f:
         json.dump(metrics, f, indent=1)
