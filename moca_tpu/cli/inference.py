@@ -131,7 +131,11 @@ def main(args):
     if args.mode == "i2v":
         assert args.cond_image_dir, "--cond_image_dir required for i2v"
         from moca_tpu.io.video import load_image_batch
-        files = sorted(os.listdir(args.cond_image_dir))
+        # ext-filter like the reference's get_filelist(..., '[mpj][pn][4gj]')
+        # (inference.py:82, funcs.py:567-573): a stray .txt/.DS_Store in the
+        # dir must not crash the loader or shift the prompt↔image pairing
+        files = sorted(f for f in os.listdir(args.cond_image_dir)
+                       if f.endswith((".mp4", ".png", ".jpg")))
         # the reference's exact chain (inference.py:113): resize the raw
         # image to the GENERATION size (H, W) with cv2 bilinear before the
         # embedder's own 224 bicubic preprocessing. RGB slice: the loader

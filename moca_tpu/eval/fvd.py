@@ -92,8 +92,17 @@ def fvd(videos_a: np.ndarray, videos_b: np.ndarray,
         videos = np.asarray(videos)
         if videos.ndim != 5:
             raise ValueError(f"videos must be [N,T,H,W,C], got {videos.shape}")
-        chunks = [np.asarray(feature_fn(videos[i:i + batch_size]))
-                  for i in range(0, videos.shape[0], batch_size)]
+        chunks = []
+        for i in range(0, videos.shape[0], batch_size):
+            chunk = videos[i:i + batch_size]
+            k = chunk.shape[0]
+            if k < batch_size:
+                # pad the ragged tail to the jitted batch shape (a second
+                # leading shape would recompile the whole extractor through
+                # the remote-compile RPC) and slice the features back
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], batch_size - k, axis=0)])
+            chunks.append(np.asarray(feature_fn(chunk))[:k])
         return np.concatenate(chunks, axis=0)
 
     return fvd_from_features(extract(videos_a), extract(videos_b))

@@ -91,7 +91,17 @@ def i3d_logits(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """Kinetics-400 logits [B, 400] from preprocessed video [B,T,H,W,3] in
     [-1, 1] — the videogpt FVD feature vector (dropout is a no-op in the
     original's eval mode)."""
+    if x.shape[1] < 9:
+        raise ValueError(
+            f"I3D needs ≥9 input frames (got T={x.shape[1]}): the temporal "
+            "stride-8 backbone + (2,·,·) head window would otherwise "
+            "silently mean over an empty axis → NaN logits")
     f = i3d_features(params, x)
+    if f.shape[2] < 7 or f.shape[3] < 7:
+        raise ValueError(
+            f"I3D head needs ≥7×7 Mixed_5c maps (got {f.shape[2]}×"
+            f"{f.shape[3]}): input must be ≥195 px spatial, like the "
+            "original's fixed (2,7,7) average pool")
     f = avg_pool(f, (2, 7, 7), (1, 1, 1), "VALID")
     y = _conv(params["logits"], f)              # 1×1×1 conv, bias, no act
     return jnp.mean(y, axis=1)[:, 0, 0, :]
@@ -99,10 +109,14 @@ def i3d_logits(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
 
 def i3d_preprocess(videos: jnp.ndarray, target: int = 224) -> jnp.ndarray:
     """[B, T, H, W, C] in [0, 1] → bilinear resize to target² (half-pixel
-    centers ≡ torch `interpolate(..., align_corners=False)`) → [-1, 1]."""
+    centers, antialias OFF ≡ torch `interpolate(..., align_corners=False)`
+    — jax's default antialias=True widens the kernel on DOWNSCALE, the
+    common 320×512 → 224² case, and diverges from torch by up to 0.46)
+    → [-1, 1]."""
     b, t, _, _, c = videos.shape
     x = jax.image.resize(videos.astype(jnp.float32),
-                         (b, t, target, target, c), "bilinear")
+                         (b, t, target, target, c), "bilinear",
+                         antialias=False)
     return x * 2.0 - 1.0
 
 

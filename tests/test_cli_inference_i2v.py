@@ -56,6 +56,13 @@ def _write_images(d, n=2):
         Image.fromarray(
             rng.integers(0, 255, (40, 40, 3), dtype=np.uint8),
             mode="RGB").save(os.path.join(d, f"cond_{i}.png"))
+    # stray non-image entries must be ignored by the CLI's ext filter (the
+    # reference's get_filelist glob, inference.py:82) — without it these
+    # would crash the loader / shift the prompt↔image pairing
+    with open(os.path.join(d, "notes.txt"), "w") as f:
+        f.write("not an image")
+    with open(os.path.join(d, ".DS_Store"), "wb") as f:
+        f.write(b"\x00")
 
 
 def _run(args_list, setup, monkeypatch, tmp_path):

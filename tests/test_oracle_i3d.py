@@ -192,18 +192,61 @@ def test_i3d_head_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-def test_i3d_preprocess_matches_torch_interpolate():
-    """Bilinear half-pixel resize ≡ F.interpolate(align_corners=False)."""
+@pytest.mark.parametrize("hw", [(17, 23), (48, 64), (320, 512)])
+def test_i3d_preprocess_matches_torch_interpolate(hw):
+    """Bilinear half-pixel resize ≡ F.interpolate(align_corners=False) for
+    BOTH up- and down-scaling. The downscale cases (incl. the real
+    320×512 → 224-class path) are the load-bearing ones: jax's default
+    antialias=True silently widens the kernel there (divergence up to 0.46
+    on [0,1] data) while being a no-op on upscale."""
+    h, w = hw
+    target = 32 if h < 224 else 224
     rng = np.random.default_rng(3)
-    video = rng.uniform(0, 1, (1, 2, 17, 23, 3)).astype(np.float32)
-    got = np.asarray(i3d_preprocess(video, target=32))
+    video = rng.uniform(0, 1, (1, 2, h, w, 3)).astype(np.float32)
+    got = np.asarray(i3d_preprocess(video, target=target))
     with torch.no_grad():
-        t = torch.from_numpy(
-            video.reshape(2, 17, 23, 3).transpose(0, 3, 1, 2))
-        want = F.interpolate(t, size=(32, 32), mode="bilinear",
+        t = torch.from_numpy(video.reshape(2, h, w, 3).transpose(0, 3, 1, 2))
+        want = F.interpolate(t, size=(target, target), mode="bilinear",
                              align_corners=False).numpy()
-    want = want.transpose(0, 2, 3, 1).reshape(1, 2, 32, 32, 3) * 2.0 - 1.0
+    want = (want.transpose(0, 2, 3, 1).reshape(1, 2, target, target, 3)
+            * 2.0 - 1.0)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_i3d_logits_rejects_undersized_inputs():
+    """T<9 or <195 px spatial must raise, not NaN (the torch original's
+    AvgPool3d errors; a silent empty-axis mean would poison the FVD fit)."""
+    model = _build_replica()
+    params = convert_i3d_weights(
+        {k: v.numpy() for k, v in model.state_dict().items()})
+    with pytest.raises(ValueError, match="9 input frames"):
+        i3d_logits(params, np.zeros((1, 8, 224, 224, 3), np.float32))
+    with pytest.raises(ValueError, match="195 px"):
+        i3d_logits(params, np.zeros((1, 9, 64, 64, 3), np.float32))
+
+
+def test_fvd_pads_ragged_final_chunk_to_uniform_shape():
+    """fvd()'s extractor must see ONE leading shape (a second shape would
+    recompile the whole jitted I3D through the remote-compile RPC) and the
+    padded rows must not leak into the features."""
+    from moca_tpu.eval.fvd import fvd
+    seen = []
+
+    def feature_fn(chunk):
+        seen.append(chunk.shape)
+        # per-video content fingerprint → padded-row slice-back is checkable
+        return chunk.reshape(chunk.shape[0], -1)[:, :16].copy()
+
+    rng = np.random.default_rng(6)
+    vids_a = rng.normal(0, 1, (5, 2, 4, 4, 3)).astype(np.float32)
+    vids_b = rng.normal(0, 1, (4, 2, 4, 4, 3)).astype(np.float32)
+    d = fvd(vids_a, vids_b, feature_fn, batch_size=2)
+    assert set(seen) == {(2, 2, 4, 4, 3)}
+    # padding must be invisible: same result as an unbatched extraction
+    from moca_tpu.eval.fvd import fvd_from_features
+    want = fvd_from_features(vids_a.reshape(5, -1)[:, :16],
+                             vids_b.reshape(4, -1)[:, :16])
+    np.testing.assert_allclose(d, want, rtol=1e-12)
 
 
 @pytest.mark.skipif(not os.environ.get("MOCA_TPU_HEAVY_ORACLES"),
