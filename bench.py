@@ -373,7 +373,20 @@ def _probe_backend(timeout_s: float = 240.0) -> bool:
 
 
 def main():
+    """Timeout-proof protocol (round-5, after BENCH_r04 rc=124):
+
+    The driver parses the LAST JSON line of the tail, under an external
+    timeout. So: print the primary FIFO line the moment bench_fifo()
+    returns, then try to improve it — each later section re-prints the
+    MERGED line, overwriting the earlier one from the driver's point of
+    view. A timeout mid-section then loses only that section, never the
+    primary number. BENCH_BUDGET_S (default 900) is a wall clock: a
+    section only starts if the budget has room for its worst-case cold
+    compile (observed r3: fifo 124 s, fifo_seg 125 s, t2v 163 s) plus
+    execution; skipped sections are listed in `sections_skipped`."""
     mode = os.environ.get("BENCH_MODE", "all")
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    start = time.monotonic()
     if not _probe_backend():
         print(json.dumps({
             "metric": "sec per output frame, full MoCA FIFO iteration "
@@ -413,12 +426,37 @@ def main():
                        "unit": "s"})
     else:
         result = bench_fifo()
-        result.update(bench_fifo_seg())
-        result["fifo_seg_overhead_pct"] = round(
-            100.0 * (result["fifo_seg_sec_per_frame"] / result["value"] - 1.0),
-            1)
-        result.update(bench_t2v())
-    print(json.dumps(result))
+        # Primary number is now safe: emit it BEFORE attempting anything
+        # else, so an external timeout in a later section can't erase it.
+        print(json.dumps(result), flush=True)
+        skipped = []
+        # Worst-case section costs (cold compile + exec, r3/r4 receipts).
+        section_cost = {"fifo_seg": 180.0, "t2v": 220.0}
+
+        def room_for(name):
+            if time.monotonic() - start + section_cost[name] <= budget_s:
+                return True
+            skipped.append(name)
+            return False
+
+        if room_for("fifo_seg"):
+            try:
+                result.update(bench_fifo_seg())
+                result["fifo_seg_overhead_pct"] = round(
+                    100.0 * (result["fifo_seg_sec_per_frame"]
+                             / result["value"] - 1.0), 1)
+            except Exception as e:  # noqa: BLE001 — keep the primary line
+                result["fifo_seg_error"] = repr(e)
+            print(json.dumps(result), flush=True)
+        if room_for("t2v"):
+            try:
+                result.update(bench_t2v())
+            except Exception as e:  # noqa: BLE001
+                result["t2v_error"] = repr(e)
+        if skipped:
+            result["sections_skipped"] = skipped
+            result["budget_s"] = budget_s
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -82,6 +82,13 @@ def fvd(videos_a: np.ndarray, videos_b: np.ndarray,
         batch_size: int = 8) -> float:
     """FVD between two video sets [N, T, H, W, C] in [0, 1].
 
+    Output-contract divergence from the submodule (deliberate): the
+    submodule's `calculate_fvd` (videogpt method) reports one FVD per
+    clip-length prefix from 10 frames up to T; this returns a SINGLE
+    full-length number, and accepts T ≥ 9 (the I3D temporal floor)
+    rather than the submodule's ≥ 10 loop start. Callers wanting the
+    per-prefix curve can loop `fvd(videos_a[:, :t], videos_b[:, :t], …)`.
+
     `feature_fn` maps a video batch [B, T, H, W, C] → [B, D] — use
     `eval.i3d.i3d_feature_fn(convert_i3d_weights(sd))` for the reference's
     I3D-400 logits features (weights-gated, like LPIPS). Batched on the

@@ -20,8 +20,9 @@ Layout/parity notes:
   here consumes post-ReLU (≥ 0) activations, where the two agree.
 - The logits head is the original's exact (2,7,7) VALID average pool →
   1×1×1 conv → time mean (NOT a global mean: the stride-1 time window
-  weights interior frames double), so inputs must be ≥ 195 px spatial and
-  ≥ 9 frames, like the original.
+  weights interior frames double), so inputs must be ≥ 193 px spatial
+  (193→97→49→25→13→7 through the five stride-2 stages — roughly
+  224-class inputs) and ≥ 9 frames, like the original.
 """
 
 from __future__ import annotations
@@ -100,8 +101,9 @@ def i3d_logits(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     if f.shape[2] < 7 or f.shape[3] < 7:
         raise ValueError(
             f"I3D head needs ≥7×7 Mixed_5c maps (got {f.shape[2]}×"
-            f"{f.shape[3]}): input must be ≥195 px spatial, like the "
-            "original's fixed (2,7,7) average pool")
+            f"{f.shape[3]}): input must be ≥193 px spatial (roughly "
+            "224-class inputs), like the original's fixed (2,7,7) "
+            "average pool")
     f = avg_pool(f, (2, 7, 7), (1, 1, 1), "VALID")
     y = _conv(params["logits"], f)              # 1×1×1 conv, bias, no act
     return jnp.mean(y, axis=1)[:, 0, 0, :]

@@ -115,7 +115,13 @@ def main():
              torch.load(args.i3d_ckpt, map_location="cpu").items()}))
 
     entries, metrics = [], {}
-    fvd_src, fvd_out = [], []
+    # FVD bookkeeping: per-video [1,400] I3D feature rows, NOT whole decoded
+    # float videos (hundreds of MB/side over a long sweep on this one-core
+    # host). The submodule's calculate_fvd uses one uniform clip length per
+    # set; the first usable pair fixes it, shorter later pairs are skipped
+    # and counted.
+    fvd_len, fvd_skipped = None, 0
+    fvd_feat_src, fvd_feat_out = [], []
     for idx in indices:
         row = prompts[idx]
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), idx)
@@ -164,8 +170,15 @@ def main():
 
         if i3d_fn is not None and src_vid is not None:
             n = min(len(src_vid), len(vid))
-            fvd_src.append((np.asarray(src_vid[:n]) + 1) / 2)
-            fvd_out.append((np.asarray(vid[:n]) + 1) / 2)
+            if fvd_len is None and n >= 9:  # I3D temporal floor
+                fvd_len = n
+            if fvd_len is not None and n >= fvd_len:
+                src01 = ((np.asarray(src_vid[:fvd_len]) + 1) / 2)[None]
+                out01 = ((np.asarray(vid[:fvd_len]) + 1) / 2)[None]
+                fvd_feat_src.append(i3d_fn(src01))
+                fvd_feat_out.append(i3d_fn(out01))
+            else:
+                fvd_skipped += 1
 
         entries.append({"prompt": row["prompt"], "video_path": video_path})
 
@@ -178,17 +191,18 @@ def main():
             "(eval/metrics.py); NOT directly comparable to the paper's "
             "published 4.93/1.23 — the paper ships no metric code")
     if i3d_fn is not None:
-        # FVD is a SET metric (one Gaussian per side): needs ≥2 videos and
-        # uniform length ≥9 frames (the I3D temporal minimum, like the
-        # submodule's calculate_fvd)
-        t_min = min((v.shape[0] for v in fvd_src), default=0)
-        if len(fvd_src) >= 2 and t_min >= 9:
-            from moca_tpu.eval.fvd import fvd
-            metrics["_fvd_edited_vs_source"] = float(fvd(
-                np.stack([v[:t_min] for v in fvd_out]),
-                np.stack([v[:t_min] for v in fvd_src]), i3d_fn))
+        # FVD is a SET metric (one Gaussian per side): needs ≥2 videos at
+        # the uniform clip length fixed by the first pair (features were
+        # already extracted per video inside the loop)
+        if len(fvd_feat_src) >= 2:
+            from moca_tpu.eval.fvd import fvd_from_features
+            metrics["_fvd_edited_vs_source"] = float(fvd_from_features(
+                np.concatenate(fvd_feat_out, axis=0),
+                np.concatenate(fvd_feat_src, axis=0)))
         else:
             metrics["_fvd_edited_vs_source"] = None
+        if fvd_skipped:
+            metrics["_fvd_videos_skipped"] = fvd_skipped
 
     with open(os.path.join(args.out_dir, f"metrics_rank{args.rank}.json"),
               "w") as f:
