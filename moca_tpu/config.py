@@ -124,6 +124,38 @@ def _clip_from_yaml(p: Dict[str, Any], dtype) -> CLIPTextConfig:
         context_length=p.get("context_length", 77), dtype=dtype)
 
 
+# Encoder classes the reference ships but no shipped config instantiates
+# (condition.py:57 FrozenT5Embedder, :89 FrozenCLIPEmbedder, :136
+# ClipImageEmbedder, :377 FrozenCLIPT5Encoder). DECISIONS #9 keeps them as
+# config hooks only: a YAML targeting one fails HERE with a named error
+# instead of silently building the OpenCLIP tower in its place.
+_VESTIGIAL_ENCODERS = frozenset({
+    "FrozenT5Embedder", "FrozenCLIPEmbedder", "ClipImageEmbedder",
+    "FrozenCLIPT5Encoder"})
+# The encoders moca_tpu actually implements (condition.py:184
+# FrozenOpenCLIPEmbedder → models/clip_text.py; :219/:293
+# FrozenOpenCLIPImageEmbedder[V2] → models/clip_vision.py; resampler.py
+# Resampler → models/ip_resampler.py).
+_IMPLEMENTED_ENCODERS = frozenset({
+    "FrozenOpenCLIPEmbedder", "FrozenOpenCLIPImageEmbedder",
+    "FrozenOpenCLIPImageEmbedderV2", "Resampler"})
+
+
+def _check_encoder_target(target: str, where: str) -> None:
+    if not target:
+        return  # shrunk test configs omit targets; size keys drive shapes
+    name = target.rsplit(".", 1)[-1]
+    if name in _IMPLEMENTED_ENCODERS:
+        return
+    if name in _VESTIGIAL_ENCODERS:
+        raise NotImplementedError(
+            f"{where} targets {name}: a vestigial encoder class the "
+            "reference ships (lvdm/modules/encoders/condition.py) but no "
+            "shipped config uses — moca_tpu implements the OpenCLIP "
+            "text/image towers only (DECISIONS #9)")
+    raise ValueError(f"unknown {where} target: {target!r}")
+
+
 def load_model_config(path: str, dtype: Optional[str] = None) -> ModelConfig:
     """Parse a reference-format YAML (e.g. configs/inference_t2v_512_v2.0.yaml)."""
     with open(path) as f:
@@ -150,6 +182,11 @@ def model_config_from_dict(raw: Dict[str, Any],
     )
     unet = _unet_from_yaml(mp["unet_config"]["params"], dt)
     vae = _vae_from_yaml(mp["first_stage_config"]["params"], dt)
+    _check_encoder_target(
+        mp["cond_stage_config"].get("target", ""), "cond_stage_config")
+    if "cond_img_config" in mp:
+        _check_encoder_target(
+            mp["cond_img_config"].get("target", ""), "cond_img_config")
     clip = _clip_from_yaml(mp["cond_stage_config"].get("params", {}), dt)
     target = raw["model"].get("target", "")
     is_i2v = ("LatentVisualDiffusion" in target) or ("cond_img_config" in mp)

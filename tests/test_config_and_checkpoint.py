@@ -30,6 +30,48 @@ def test_load_shipped_yaml():
     assert cfg.is_i2v is False
 
 
+def test_vestigial_encoder_targets_rejected():
+    """The four encoder classes the reference ships but no shipped config
+    uses (condition.py:57 FrozenT5Embedder, :89 FrozenCLIPEmbedder, :136
+    ClipImageEmbedder, :377 FrozenCLIPT5Encoder) must fail with a NAMED
+    error instead of silently building the OpenCLIP tower (DECISIONS #9);
+    unknown targets are rejected too, the real targets pass."""
+    import copy
+
+    import pytest
+    import yaml
+
+    from moca_tpu.config import model_config_from_dict
+
+    with open("configs/inference_t2v_512_v2.0.yaml") as f:
+        base = yaml.safe_load(f)
+
+    def with_target(dotted, key="cond_stage_config"):
+        raw = copy.deepcopy(base)
+        mp = raw["model"]["params"]
+        mp.setdefault(key, {})["target"] = dotted
+        return raw
+
+    for name in ("FrozenT5Embedder", "FrozenCLIPEmbedder",
+                 "ClipImageEmbedder", "FrozenCLIPT5Encoder"):
+        with pytest.raises(NotImplementedError, match=name):
+            model_config_from_dict(with_target(
+                f"lvdm.modules.encoders.condition.{name}"))
+    # the i2v image-embedder slot is validated too
+    with pytest.raises(NotImplementedError, match="FrozenT5Embedder"):
+        model_config_from_dict(with_target(
+            "lvdm.modules.encoders.condition.FrozenT5Embedder",
+            key="cond_img_config"))
+    with pytest.raises(ValueError, match="unknown cond_stage_config"):
+        model_config_from_dict(with_target("some.module.MysteryEncoder"))
+    # implemented targets still parse
+    assert model_config_from_dict(with_target(
+        "lvdm.modules.encoders.condition.FrozenOpenCLIPEmbedder"))
+    assert model_config_from_dict(with_target(
+        "lvdm.modules.encoders.condition.FrozenOpenCLIPImageEmbedderV2",
+        key="cond_img_config")).is_i2v
+
+
 def test_bf16_dtype_plumbed():
     cfg = load_model_config("configs/inference_t2v_512_v2.0.yaml",
                             dtype="bf16")
