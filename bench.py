@@ -425,7 +425,18 @@ def main():
                        "value": result["fifo_seg_sec_per_frame"],
                        "unit": "s"})
     else:
-        result = bench_fifo()
+        try:
+            result = bench_fifo()
+        except Exception as e:  # noqa: BLE001 — an honest error beats rc-only
+            print(json.dumps({
+                "metric": "sec per output frame, full MoCA FIFO iteration "
+                          "(f=16 n=4 lookahead, bf16, 1 chip)",
+                "value": None, "unit": "s", "vs_baseline": None,
+                "error": f"bench_fifo raised: {e!r}",
+                "stale_fifo_sec_per_frame": 1.804,
+                "stale_source": "docs/ROUND4.md final HEAD re-bench"}),
+                flush=True)
+            raise
         # Primary number is now safe: emit it BEFORE attempting anything
         # else, so an external timeout in a later section can't erase it.
         print(json.dumps(result), flush=True)
