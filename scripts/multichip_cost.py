@@ -185,6 +185,18 @@ def main():
                     help="lower one batched-T2V DDIM step (B prompts → 2·B "
                          "CFG rows on a (1,8) mesh) instead of the FIFO "
                          "iteration")
+    ap.add_argument("--mfu", type=float, default=0.55,
+                    help="measured single-chip MFU driving the projection "
+                         "(default 0.55 = BENCH_r03, the last driver-"
+                         "captured figure; pass the current bench's mfu_pct"
+                         "/100)")
+    ap.add_argument("--peak_tflops", type=float, default=197.0,
+                    help="bf16 peak per chip (197 = v5e)")
+    ap.add_argument("--ici_gbyte_s", type=float, default=100.0,
+                    help="effective per-chip ICI bandwidth for collectives "
+                         "(v5e spec 1600 Gbps = 200 GB/s bidirectional; "
+                         "default halves it as a conservative one-way "
+                         "effective figure)")
     args = ap.parse_args()
 
     if args.t2v:
@@ -235,6 +247,46 @@ def main():
         print(f"  {op:<20} {shape:<40} {b / 2**20:.3f} MiB")
     if not collectives:
         print("  (none — windows are fully independent per iteration)")
+
+    # --- projected v5e-8 s/frame (replaces the r4 "≈ 2.0/8 + ε" hand-wave
+    # with the formula + inputs — r4 verdict item 8):
+    #
+    #   projected_spf = per_device_flops / (MFU × peak)        [compute]
+    #                 + collective_bytes / ICI_bandwidth        [ICI]
+    #
+    # MFU is the MEASURED single-chip figure (bench.py's mfu_pct at the
+    # same flagship program; --mfu to update from the current bench) — the
+    # per-device program is the same U-Net at 1/8 batch, so the sustained
+    # efficiency carries over; the ICI term uses the partitioned module's
+    # actual collective bytes. One FIFO iteration = one output frame.
+    import json
+    compute_s = dev_flops / (args.mfu * args.peak_tflops * 1e12)
+    ici_s = tot_bytes / (args.ici_gbyte_s * 1e9)
+    projected = compute_s + ici_s
+    result = {
+        "single_device_tflops": round(total_flops / 1e12, 3),
+        "per_device_tflops": round(dev_flops / 1e12, 3),
+        "parallel_efficiency_pct": round(
+            100.0 * total_flops / 8 / dev_flops, 1) if dev_flops else None,
+        "num_collectives": len(collectives),
+        "collective_bytes": tot_bytes,
+        "mfu_assumed": args.mfu,
+        "peak_tflops": args.peak_tflops,
+        "ici_gbyte_s": args.ici_gbyte_s,
+        "projected_compute_s": round(compute_s, 4),
+        "projected_ici_s": round(ici_s, 6),
+        "projected_v5e8_spf": round(projected, 4),
+        "small": bool(args.small),
+    }
+    if args.small:
+        result["note"] = ("--small shrinks model_channels: flop counts (and "
+                          "the projection) do NOT reflect the flagship "
+                          "model — run without --small for the real number")
+    if args.t2v:
+        result["note_t2v"] = ("program is ONE T2V DDIM step for B prompts, "
+                              "not a FIFO iteration: projected value is "
+                              "s/step, multiply by num steps for s/clip")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -331,6 +331,9 @@ def test_parse_mesh():
 FF, FN = 16, 4
 
 
+flagship = pytest.mark.flagship  # ~15 min batch; -m "not flagship" to skip
+
+
 @pytest.fixture(scope="module")
 def flagship_model():
     unet_cfg = UNetConfig(
@@ -373,11 +376,18 @@ def flagship_plain(flagship_model):
     return np.stack(pipe("a mouse", _FLAGSHIP_KEY, **_flagship_kw()))
 
 
+@flagship
 @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
 def test_flagship_geometry_mesh_matches_unsharded(
         flagship_model, flagship_plain, mesh_shape):
     """Full prompt-mode __call__ (cond image + concept prompt + injection)
-    at the flagship geometry: sharded ≡ unsharded."""
+    at the flagship geometry: sharded ≡ unsharded.
+
+    atol=2e-4, NOT bit-exact like the tiny-geometry tests: the SPMD
+    partitioner re-tiles fp32 reductions per device and the ~1e-7 per-op
+    reassociation drift compounds over 64 denoise steps × 50 iterations of
+    queue feedback (DECISIONS #21). The HLO row-count tests below rule out
+    the one failure mode this tolerance could hide (silent replication)."""
     sharded = _flagship_pipe(flagship_model, mesh=make_mesh(mesh_shape))(
         "a mouse", _FLAGSHIP_KEY, **_flagship_kw())
     assert len(sharded) == len(flagship_plain) == 50
@@ -385,11 +395,15 @@ def test_flagship_geometry_mesh_matches_unsharded(
         np.stack(sharded), flagship_plain, atol=2e-4)
 
 
-def test_flagship_hlo_shards_window_batch(flagship_model):
+@flagship
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_flagship_hlo_shards_window_batch(flagship_model, mesh_shape):
     """At f=16/n=4 the 16-row window batch must land 2 rows per device on
-    the (1, 8) mesh — [2, 16, 4, 4, 4] in the compiled HLO, not the
-    replicated [16, ...]."""
-    mesh = make_mesh((1, 8))
+    BOTH mesh shapes — the flat (window·cfg) axis is sharded over
+    ("fifo","dp") combined, so (1,8) and (2,4) give the same per-device
+    row count — [2, 16, 4, 4, 32] in the compiled HLO, not the replicated
+    [16, ...]."""
+    mesh = make_mesh(mesh_shape)
     pipe = _flagship_pipe(flagship_model, mesh=mesh)
     h, w = HEIGHT // 8, WIDTH // 8
     latents = jnp.zeros((1, pipe.plan.queue_length, h, w, 4))
