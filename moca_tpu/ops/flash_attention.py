@@ -651,16 +651,24 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     # fastest — no online-softmax state, no kv grid axis — now that the
     # tuned 64 MiB scoped-VMEM compile option ships (the r1 full-KV
     # attempt predated it and regressed): bq 640/2560 → 1.839, 1280/2560
-    # → 1.838, vs 1280/1280 → 1.867. bq=640 adopted (6.55 MB logits tile,
-    # half the VMEM of 1280 for the same speed). Env overrides for sweeps
-    # (must divide the sequence).
+    # → 1.838, vs 1280/1280 → 1.867. r5: WHOLE-S one-shot blocks
+    # (bq=sq AND bkv=sk — one program per (b,h), 26.2 MB logits tile, a
+    # second r1 negative reversed by the 64 MiB option) beat bq=640:
+    # interleaved A/B 1.796/1.796/1.797 vs 1.816/1.809/1.847 s/frame,
+    # MFU 58.5 → 59.1; bq=320 measured neutral (1.815). Env overrides for
+    # sweeps (must divide the sequence).
     bq_env = _env_int("MOCA_TPU_FA_BQ")
     bkv_env = _env_int("MOCA_TPU_FA_BKV")
-    bq = bq_env if bq_env and sq % bq_env == 0 else _pick_block(
-        sq, candidates=(640, 512, 256, 128, 64, 32, 16, 8))
+    _WHOLE_S_CAP = 27 * 1024 * 1024  # fits S=2560 (26.2 MB); larger S blocks
+    if bq_env and sq % bq_env == 0:
+        bq = bq_env
+    elif _big_vmem() and sq * sk * 4 <= _WHOLE_S_CAP:
+        bq = sq  # whole-S one-shot (r5 A/B above)
+    else:
+        bq = _pick_block(sq, candidates=(640, 512, 256, 128, 64, 32, 16, 8))
     if bkv_env and sk % bkv_env == 0:
         bkv = bkv_env
-    elif _big_vmem() and bq * sk * 4 <= 8 * 1024 * 1024:
+    elif _big_vmem() and bq * sk * 4 <= _WHOLE_S_CAP:
         # full-KV logits tile — only fits under the tuned 64 MiB scoped-VMEM
         # compile option; a plain jax.jit (stock 16 MiB) must take the
         # blocked path below or the Mosaic compile fails
