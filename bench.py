@@ -245,6 +245,16 @@ def bench_fifo_seg() -> dict:
     jax.block_until_ready((latents, head, pred))
     compile_s = time.perf_counter() - t0
     mask_np = np.asarray(masks)
+    # warm the host round-trip path (pred readback program + mask upload)
+    # before timing — the r5 on-chip run showed the first timed loop ~0.25
+    # s/frame above identical later loops when it started this path cold
+    _ = np.asarray(pred)
+    masks = jnp.asarray(mask_np)
+    latents, head, pred = iteration(uparams, latents, masks,
+                                    jax.random.PRNGKey(4))
+    _ = np.asarray(pred)
+    masks = jnp.asarray(mask_np)
+    jax.block_until_ready(head)
     t0 = time.perf_counter()
     for i in range(n_runs):
         latents, head, pred = iteration(uparams, latents, masks,
