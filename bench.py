@@ -408,11 +408,11 @@ def main():
                      "tunnel is down; the stale_* fields repeat the last "
                      "fresh-process on-chip measurement, they are NOT from "
                      "this run",
-            "stale_fifo_sec_per_frame": 1.804,
-            "stale_t2v_clip_s": 11.7,
-            "stale_source": "docs/ROUND4.md final HEAD re-bench (both "
+            "stale_fifo_sec_per_frame": 1.800,
+            "stale_t2v_clip_s": 11.642,
+            "stale_source": "docs/ROUND5.md final HEAD bench (all three "
                             "sections fresh in one driver-equivalent run: "
-                            "fifo 1.804 MFU 58.8, t2v 11.696)",
+                            "fifo 1.800 MFU 58.9, seg 1.931, t2v 11.642)",
         }))
         return
     if mode == "t2v":
@@ -443,8 +443,8 @@ def main():
                           "(f=16 n=4 lookahead, bf16, 1 chip)",
                 "value": None, "unit": "s", "vs_baseline": None,
                 "error": f"bench_fifo raised: {e!r}",
-                "stale_fifo_sec_per_frame": 1.804,
-                "stale_source": "docs/ROUND4.md final HEAD re-bench"}),
+                "stale_fifo_sec_per_frame": 1.800,
+                "stale_source": "docs/ROUND5.md final HEAD bench"}),
                 flush=True)
             raise
         # Primary number is now safe: emit it BEFORE attempting anything

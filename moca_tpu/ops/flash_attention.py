@@ -625,6 +625,38 @@ def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(q, k, v)
 
 
+# fp32 logits-tile budget for single-program (whole-S / full-KV) shapes:
+# fits S=2560 (26.2 MB) under the tuned 64 MiB scoped-VMEM option with the
+# double-buffered IO blocks; larger sequences fall back to blocked kv.
+_WHOLE_S_CAP = 27 * 1024 * 1024
+
+
+def _choose_flash_blocks(sq: int, sk: int, big_vmem: bool,
+                         bq_env: int = 0, bkv_env: int = 0):
+    """(bq, bkv) for the large-S flash path. Pure — unit-tested directly.
+
+    Under the big-VMEM compile option: whole-S one-shot (bq=sq, bkv=sk —
+    one program per (b, h)) whenever the fp32 logits tile fits
+    `_WHOLE_S_CAP`; full-KV (bkv=sk) for any env-pinned bq whose tile
+    fits; blocked otherwise. A plain 16 MiB jit always takes the blocked
+    path — Mosaic cannot compile the big tiles there. Env overrides must
+    divide the sequence or they are ignored."""
+    if bq_env and sq % bq_env == 0:
+        bq = bq_env
+    elif big_vmem and sq * sk * 4 <= _WHOLE_S_CAP:
+        bq = sq  # whole-S one-shot (r5 A/B, docs/PERF.md round 5)
+    else:
+        bq = _pick_block(sq, candidates=(640, 512, 256, 128, 64, 32, 16, 8))
+    if bkv_env and sk % bkv_env == 0:
+        bkv = bkv_env
+    elif big_vmem and bq * sk * 4 <= _WHOLE_S_CAP:
+        bkv = sk  # full-KV logits tile
+    else:
+        bkv = _pick_block(
+            sk, candidates=(1280, 1024, 640, 512, 256, 128, 64, 32, 16, 8))
+    return bq, bkv
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Fused attention on [B, S, H, D]; softmax in fp32. No bias/mask.
 
@@ -657,25 +689,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     # interleaved A/B 1.796/1.796/1.797 vs 1.816/1.809/1.847 s/frame,
     # MFU 58.5 → 59.1; bq=320 measured neutral (1.815). Env overrides for
     # sweeps (must divide the sequence).
-    bq_env = _env_int("MOCA_TPU_FA_BQ")
-    bkv_env = _env_int("MOCA_TPU_FA_BKV")
-    _WHOLE_S_CAP = 27 * 1024 * 1024  # fits S=2560 (26.2 MB); larger S blocks
-    if bq_env and sq % bq_env == 0:
-        bq = bq_env
-    elif _big_vmem() and sq * sk * 4 <= _WHOLE_S_CAP:
-        bq = sq  # whole-S one-shot (r5 A/B above)
-    else:
-        bq = _pick_block(sq, candidates=(640, 512, 256, 128, 64, 32, 16, 8))
-    if bkv_env and sk % bkv_env == 0:
-        bkv = bkv_env
-    elif _big_vmem() and bq * sk * 4 <= _WHOLE_S_CAP:
-        # full-KV logits tile — only fits under the tuned 64 MiB scoped-VMEM
-        # compile option; a plain jax.jit (stock 16 MiB) must take the
-        # blocked path below or the Mosaic compile fails
-        bkv = sk
-    else:
-        bkv = _pick_block(
-            sk, candidates=(1280, 1024, 640, 512, 256, 128, 64, 32, 16, 8))
+    bq, bkv = _choose_flash_blocks(
+        sq, sk, _big_vmem(),
+        _env_int("MOCA_TPU_FA_BQ"), _env_int("MOCA_TPU_FA_BKV"))
     nq, nkv = sq // bq, sk // bkv
     scale = d**-0.5
 

@@ -191,3 +191,22 @@ def test_packed_tiny_kernel_interpret(qmask, nomax):
     ref = _ref_attention(qh, kh, vh, scale)  # [nb, heads, s, d]
     ref = ref.transpose(0, 2, 1, 3).reshape(nb, s, c)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_choose_flash_blocks():
+    """Block-choice policy (r5: whole-S one-shot default under big VMEM)."""
+    from moca_tpu.ops.flash_attention import _choose_flash_blocks
+
+    # big VMEM + tile fits 27 MB → whole-S one-shot (the r5 default)
+    assert _choose_flash_blocks(2560, 2560, True) == (2560, 2560)
+    # plain jit: Mosaic can't fit the big tiles → blocked path
+    assert _choose_flash_blocks(2560, 2560, False) == (640, 1280)
+    # tile too big for whole-S (5120² = 100 MB) → blocked bq, but the
+    # 640-row tile still fits → full-KV bkv
+    assert _choose_flash_blocks(5120, 5120, True) == (640, 5120)
+    # env-pinned bq keeps full-KV when its tile fits
+    assert _choose_flash_blocks(2560, 2560, True, bq_env=1280) == (1280, 2560)
+    # non-dividing env overrides are ignored
+    assert _choose_flash_blocks(2560, 2560, True, bq_env=700) == (2560, 2560)
+    # env-pinned bkv wins over full-KV
+    assert _choose_flash_blocks(2560, 2560, True, bkv_env=1280) == (2560, 1280)
