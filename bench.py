@@ -266,6 +266,24 @@ def bench_fifo_seg() -> dict:
     jax.block_until_ready(head)
     sec_per_frame = (time.perf_counter() - t0) / n_runs
 
+    # the PRODUCT default schedule (seg_async=True, zero-cost detector):
+    # dispatch iteration i+1 BEFORE synchronizing on iteration i's pred —
+    # what a pipeline user actually pays per open-vocab frame (the
+    # sec_per_frame loop above is the sync-shaped schedule, kept as the
+    # cross-round-comparable headline field)
+    prev = None
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        latents, head, pred = iteration(uparams, latents, masks,
+                                        jax.random.PRNGKey(31 + i))
+        if prev is not None:
+            _ = np.asarray(prev)
+            masks = jnp.asarray(mask_np)
+        prev = pred
+    _ = np.asarray(prev)
+    jax.block_until_ready(head)
+    async_spf = (time.perf_counter() - t0) / n_runs
+
     # --- detector-overlap proof (MoCAVideoPipeline.seg_async): the product
     # pipeline dispatches iteration i+1 BEFORE synchronizing on iteration
     # i's pred_x0, so a slow open-vocab detector runs while the device
@@ -306,6 +324,7 @@ def bench_fifo_seg() -> dict:
 
     return {
         "fifo_seg_sec_per_frame": round(sec_per_frame, 3),
+        "fifo_seg_async_spf": round(async_spf, 3),
         "fifo_seg_pred_slots": k_low,
         "fifo_seg_compile_s": round(compile_s, 1),
         "fifo_seg_slow_sync_spf": round(slow_sync_spf, 3),
