@@ -77,6 +77,49 @@ def fvd_from_features(features_a: np.ndarray,
     return frechet_distance(mu_a, sigma_a, mu_b, sigma_b)
 
 
+class StreamingFVD:
+    """Incremental FVD over paired video streams without holding videos.
+
+    For long sweeps (scripts/eval_sweep.py): extracts the [1, D] feature
+    row for each (edited, source) pair AS IT ARRIVES and keeps only the
+    rows — not the decoded float videos (hundreds of MB/side over a long
+    sweep). The submodule's `calculate_fvd` uses one uniform clip length
+    per set; here the FIRST usable pair (≥ `min_frames`, the I3D temporal
+    floor) fixes it and shorter later pairs are skipped and counted.
+    """
+
+    def __init__(self, feature_fn: Callable[[np.ndarray], np.ndarray],
+                 min_frames: int = 9):
+        self.feature_fn = feature_fn
+        self.min_frames = min_frames
+        self.clip_len: int | None = None
+        self.skipped = 0
+        self._a: list = []
+        self._b: list = []
+
+    def add(self, video_a: np.ndarray, video_b: np.ndarray) -> bool:
+        """Add one [T, H, W, C] pair in [0, 1]; False if skipped (shorter
+        than the established clip length, or no length established yet)."""
+        n = min(len(video_a), len(video_b))
+        if self.clip_len is None and n >= self.min_frames:
+            self.clip_len = n
+        if self.clip_len is None or n < self.clip_len:
+            self.skipped += 1
+            return False
+        self._a.append(np.asarray(
+            self.feature_fn(np.asarray(video_a[:self.clip_len])[None])))
+        self._b.append(np.asarray(
+            self.feature_fn(np.asarray(video_b[:self.clip_len])[None])))
+        return True
+
+    def result(self) -> float | None:
+        """FVD(set_a, set_b), or None with < 2 accumulated pairs."""
+        if len(self._a) < 2:
+            return None
+        return fvd_from_features(np.concatenate(self._a, axis=0),
+                                 np.concatenate(self._b, axis=0))
+
+
 def fvd(videos_a: np.ndarray, videos_b: np.ndarray,
         feature_fn: Callable[[np.ndarray], np.ndarray],
         batch_size: int = 8) -> float:

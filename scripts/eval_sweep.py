@@ -115,13 +115,13 @@ def main():
              torch.load(args.i3d_ckpt, map_location="cpu").items()}))
 
     entries, metrics = [], {}
-    # FVD bookkeeping: per-video [1,400] I3D feature rows, NOT whole decoded
-    # float videos (hundreds of MB/side over a long sweep on this one-core
-    # host). The submodule's calculate_fvd uses one uniform clip length per
-    # set; the first usable pair fixes it, shorter later pairs are skipped
-    # and counted.
-    fvd_len, fvd_skipped = None, 0
-    fvd_feat_src, fvd_feat_out = [], []
+    # FVD: per-pair [1,400] I3D feature rows accumulated as videos arrive,
+    # NOT whole decoded float videos held until the end (eval/fvd.py
+    # StreamingFVD — uniform clip length fixed by the first usable pair)
+    fvd_stream = None
+    if i3d_fn is not None:
+        from moca_tpu.eval.fvd import StreamingFVD
+        fvd_stream = StreamingFVD(i3d_fn)
     for idx in indices:
         row = prompts[idx]
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), idx)
@@ -168,17 +168,9 @@ def main():
                 f_i(src_vid[:n], vid[:n], lp_params, lp_lin))
             metrics[idx]["lpips_t"] = float(f_t(vid, lp_params, lp_lin))
 
-        if i3d_fn is not None and src_vid is not None:
-            n = min(len(src_vid), len(vid))
-            if fvd_len is None and n >= 9:  # I3D temporal floor
-                fvd_len = n
-            if fvd_len is not None and n >= fvd_len:
-                src01 = ((np.asarray(src_vid[:fvd_len]) + 1) / 2)[None]
-                out01 = ((np.asarray(vid[:fvd_len]) + 1) / 2)[None]
-                fvd_feat_src.append(i3d_fn(src01))
-                fvd_feat_out.append(i3d_fn(out01))
-            else:
-                fvd_skipped += 1
+        if fvd_stream is not None and src_vid is not None:
+            fvd_stream.add((np.asarray(vid) + 1) / 2,
+                           (np.asarray(src_vid) + 1) / 2)
 
         entries.append({"prompt": row["prompt"], "video_path": video_path})
 
@@ -190,19 +182,12 @@ def main():
             "CASS/relCASS follow moca_tpu's own x100 convention "
             "(eval/metrics.py); NOT directly comparable to the paper's "
             "published 4.93/1.23 — the paper ships no metric code")
-    if i3d_fn is not None:
-        # FVD is a SET metric (one Gaussian per side): needs ≥2 videos at
-        # the uniform clip length fixed by the first pair (features were
-        # already extracted per video inside the loop)
-        if len(fvd_feat_src) >= 2:
-            from moca_tpu.eval.fvd import fvd_from_features
-            metrics["_fvd_edited_vs_source"] = float(fvd_from_features(
-                np.concatenate(fvd_feat_out, axis=0),
-                np.concatenate(fvd_feat_src, axis=0)))
-        else:
-            metrics["_fvd_edited_vs_source"] = None
-        if fvd_skipped:
-            metrics["_fvd_videos_skipped"] = fvd_skipped
+    if fvd_stream is not None:
+        # FVD is a SET metric (one Gaussian per side): None with <2 pairs
+        r = fvd_stream.result()
+        metrics["_fvd_edited_vs_source"] = None if r is None else float(r)
+        if fvd_stream.skipped:
+            metrics["_fvd_videos_skipped"] = fvd_stream.skipped
 
     with open(os.path.join(args.out_dir, f"metrics_rank{args.rank}.json"),
               "w") as f:

@@ -242,3 +242,47 @@ def test_lpips_wrappers_and_converter():
     out = AlexNetFeatures().apply(p2, jnp.zeros((1, 64, 64, 3)))
     assert [f.shape[-1] for f in out] == [64, 192, 384, 256, 256]
     assert [w.shape[0] for w in lin2] == [64, 192, 384, 256, 256]
+
+
+def test_streaming_fvd_matches_batch_fvd():
+    """StreamingFVD (per-pair incremental features) must reproduce the
+    batch fvd() path on the same sets, fix the clip length from the first
+    usable pair, and count skipped shorter pairs."""
+    import numpy as np
+
+    from moca_tpu.eval.fvd import StreamingFVD, fvd_from_features
+
+    rng = np.random.default_rng(0)
+
+    def feature_fn(batch):  # [1, T, H, W, C] → [1, 8] deterministic
+        v = np.asarray(batch)
+        flat = v.reshape(v.shape[0], -1)
+        return np.stack([flat[:, i::8].mean(axis=1) for i in range(8)], 1)
+
+    vids_a = [rng.uniform(0, 1, (12, 4, 4, 3)) for _ in range(4)]
+    vids_b = [rng.uniform(0, 1, (12, 4, 4, 3)) for _ in range(4)]
+    s = StreamingFVD(feature_fn, min_frames=9)
+    for a, b in zip(vids_a, vids_b):
+        assert s.add(a, b)
+    assert s.clip_len == 12 and s.skipped == 0
+    want = fvd_from_features(
+        np.concatenate([feature_fn(a[None]) for a in vids_a]),
+        np.concatenate([feature_fn(b[None]) for b in vids_b]))
+    assert abs(s.result() - want) < 1e-9
+
+    # shorter-than-established pairs are skipped and counted; too-short
+    # leading pairs never establish a length
+    s2 = StreamingFVD(feature_fn, min_frames=9)
+    assert not s2.add(vids_a[0][:5], vids_b[0][:5])  # < min_frames
+    assert s2.clip_len is None and s2.skipped == 1
+    assert s2.add(vids_a[0], vids_b[0])              # establishes 12
+    assert not s2.add(vids_a[1][:10], vids_b[1])     # shorter → skipped
+    assert s2.skipped == 2
+    assert s2.result() is None                       # only 1 pair → None
+    assert s2.add(vids_a[2], vids_b[2][:13])         # clipped to 12
+    assert s2.result() is not None
+
+    # mismatched-length pair uses the pairwise min
+    s3 = StreamingFVD(feature_fn, min_frames=9)
+    assert s3.add(vids_a[0][:10], vids_b[0])
+    assert s3.clip_len == 10
