@@ -280,8 +280,12 @@ def bench_fifo_seg() -> dict:
             _ = np.asarray(prev)
             masks = jnp.asarray(mask_np)
         prev = pred
+    # drain: final pred readback AND mask upload — same per-frame host
+    # round-trip count as the sync loop, so the async-vs-sync delta is
+    # pure scheduling, not one elided ~737 KB tunnel upload
     _ = np.asarray(prev)
-    jax.block_until_ready(head)
+    masks = jnp.asarray(mask_np)
+    jax.block_until_ready((head, masks))
     async_spf = (time.perf_counter() - t0) / n_runs
 
     # --- detector-overlap proof (MoCAVideoPipeline.seg_async): the product

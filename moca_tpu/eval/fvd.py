@@ -20,7 +20,7 @@ symmetric eigendecompositions.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 
@@ -84,36 +84,63 @@ class StreamingFVD:
     row for each (edited, source) pair AS IT ARRIVES and keeps only the
     rows — not the decoded float videos (hundreds of MB/side over a long
     sweep). The submodule's `calculate_fvd` uses one uniform clip length
-    per set; here the FIRST usable pair (≥ `min_frames`, the I3D temporal
-    floor) fixes it and shorter later pairs are skipped and counted.
+    per set; a streaming extractor cannot retro-truncate already-extracted
+    features, so the length is the MINIMUM over the first `warmup_pairs`
+    raw pairs (buffered, bounding memory at `warmup_pairs` videos/side)
+    or an explicit `clip_len`. Later pairs shorter than the established
+    length are skipped and counted — if a sweep's lengths genuinely vary,
+    pass `clip_len` up front. Pairs shorter than `min_frames` (the I3D
+    temporal floor) are always skipped.
     """
 
     def __init__(self, feature_fn: Callable[[np.ndarray], np.ndarray],
-                 min_frames: int = 9):
+                 min_frames: int = 9, warmup_pairs: int = 4,
+                 clip_len: Optional[int] = None):
         self.feature_fn = feature_fn
         self.min_frames = min_frames
-        self.clip_len: int | None = None
+        self.warmup_pairs = warmup_pairs
+        self.clip_len = clip_len
         self.skipped = 0
+        self._warmup: list = []  # raw pairs until clip_len establishes
         self._a: list = []
         self._b: list = []
 
+    def _extract(self, video_a, video_b) -> None:
+        self._a.append(np.asarray(
+            self.feature_fn(np.asarray(video_a[: self.clip_len])[None])))
+        self._b.append(np.asarray(
+            self.feature_fn(np.asarray(video_b[: self.clip_len])[None])))
+
+    def _establish(self) -> None:
+        self.clip_len = min(
+            min(len(a), len(b)) for a, b in self._warmup)
+        for a, b in self._warmup:
+            self._extract(a, b)
+        self._warmup.clear()
+
     def add(self, video_a: np.ndarray, video_b: np.ndarray) -> bool:
         """Add one [T, H, W, C] pair in [0, 1]; False if skipped (shorter
-        than the established clip length, or no length established yet)."""
+        than `min_frames` or than the established clip length)."""
         n = min(len(video_a), len(video_b))
-        if self.clip_len is None and n >= self.min_frames:
-            self.clip_len = n
-        if self.clip_len is None or n < self.clip_len:
+        if n < self.min_frames:
             self.skipped += 1
             return False
-        self._a.append(np.asarray(
-            self.feature_fn(np.asarray(video_a[:self.clip_len])[None])))
-        self._b.append(np.asarray(
-            self.feature_fn(np.asarray(video_b[:self.clip_len])[None])))
+        if self.clip_len is None:
+            self._warmup.append((np.asarray(video_a), np.asarray(video_b)))
+            if len(self._warmup) >= self.warmup_pairs:
+                self._establish()
+            return True
+        if n < self.clip_len:
+            self.skipped += 1
+            return False
+        self._extract(video_a, video_b)
         return True
 
-    def result(self) -> float | None:
-        """FVD(set_a, set_b), or None with < 2 accumulated pairs."""
+    def result(self) -> Optional[float]:
+        """FVD(set_a, set_b), or None with < 2 accumulated pairs.
+        Flushes a partial warmup buffer first (callable repeatedly)."""
+        if self.clip_len is None and len(self._warmup) >= 1:
+            self._establish()
         if len(self._a) < 2:
             return None
         return fvd_from_features(np.concatenate(self._a, axis=0),

@@ -647,9 +647,15 @@ def _choose_flash_blocks(sq: int, sk: int, big_vmem: bool,
         bq = sq  # whole-S one-shot (r5 A/B, docs/PERF.md round 5)
     else:
         bq = _pick_block(sq, candidates=(640, 512, 256, 128, 64, 32, 16, 8))
+    # full-KV cap: the 27 MB tile is proven ONLY for the single-program
+    # whole-S case (bq == sq, no q grid axis — the r5 receipt); a blocked
+    # bq with a multi-program grid keeps the r3-tested 8 MB margin —
+    # larger tiles there are unmeasured shapes that could crash Mosaic
+    # where the blocked path below is known-good.
+    full_kv_cap = _WHOLE_S_CAP if bq == sq else 8 * 1024 * 1024
     if bkv_env and sk % bkv_env == 0:
         bkv = bkv_env
-    elif big_vmem and bq * sk * 4 <= _WHOLE_S_CAP:
+    elif big_vmem and bq * sk * 4 <= full_kv_cap:
         bkv = sk  # full-KV logits tile
     else:
         bkv = _pick_block(

@@ -270,19 +270,31 @@ def test_streaming_fvd_matches_batch_fvd():
         np.concatenate([feature_fn(b[None]) for b in vids_b]))
     assert abs(s.result() - want) < 1e-9
 
-    # shorter-than-established pairs are skipped and counted; too-short
-    # leading pairs never establish a length
-    s2 = StreamingFVD(feature_fn, min_frames=9)
+    # a shorter pair arriving WITHIN the warmup window lowers the clip
+    # length for the whole set (the r5-review scenario: first pair longer
+    # than the rest must not doom every later pair); < min_frames always
+    # skips; mismatched lengths use the pairwise min
+    s2 = StreamingFVD(feature_fn, min_frames=9, warmup_pairs=4)
     assert not s2.add(vids_a[0][:5], vids_b[0][:5])  # < min_frames
     assert s2.clip_len is None and s2.skipped == 1
-    assert s2.add(vids_a[0], vids_b[0])              # establishes 12
-    assert not s2.add(vids_a[1][:10], vids_b[1])     # shorter → skipped
-    assert s2.skipped == 2
-    assert s2.result() is None                       # only 1 pair → None
-    assert s2.add(vids_a[2], vids_b[2][:13])         # clipped to 12
-    assert s2.result() is not None
+    assert s2.add(vids_a[0], vids_b[0])              # buffered (len 12)
+    assert s2.add(vids_a[1][:10], vids_b[1])         # buffered, min → 10
+    assert s2.clip_len is None                       # warmup not full yet
+    assert s2.result() is not None                   # flush establishes
+    assert s2.clip_len == 10 and s2.skipped == 1
+    want2 = fvd_from_features(
+        np.concatenate([feature_fn(vids_a[0][:10][None]),
+                        feature_fn(vids_a[1][:10][None])]),
+        np.concatenate([feature_fn(vids_b[0][:10][None]),
+                        feature_fn(vids_b[1][:10][None])]))
+    assert abs(s2.result() - want2) < 1e-9
 
-    # mismatched-length pair uses the pairwise min
-    s3 = StreamingFVD(feature_fn, min_frames=9)
-    assert s3.add(vids_a[0][:10], vids_b[0])
-    assert s3.clip_len == 10
+    # post-establishment shorter pairs are skipped and counted
+    assert not s2.add(vids_a[2][:9], vids_b[2])
+    assert s2.skipped == 2
+    assert s2.add(vids_a[3], vids_b[3][:13])         # clipped to 10
+
+    # explicit clip_len skips the warmup buffer entirely
+    s3 = StreamingFVD(feature_fn, min_frames=9, clip_len=10)
+    assert s3.add(vids_a[0], vids_b[0])
+    assert len(s3._warmup) == 0 and s3.clip_len == 10

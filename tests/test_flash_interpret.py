@@ -201,11 +201,17 @@ def test_choose_flash_blocks():
     assert _choose_flash_blocks(2560, 2560, True) == (2560, 2560)
     # plain jit: Mosaic can't fit the big tiles → blocked path
     assert _choose_flash_blocks(2560, 2560, False) == (640, 1280)
-    # tile too big for whole-S (5120² = 100 MB) → blocked bq, but the
-    # 640-row tile still fits → full-KV bkv
-    assert _choose_flash_blocks(5120, 5120, True) == (640, 5120)
-    # env-pinned bq keeps full-KV when its tile fits
-    assert _choose_flash_blocks(2560, 2560, True, bq_env=1280) == (1280, 2560)
+    # tile too big for whole-S (5120² = 100 MB) → blocked bq; the 27 MB
+    # cap applies ONLY to the proven single-program whole-S case, so the
+    # multi-program grid keeps the r3-tested 8 MB full-KV margin
+    # (640·5120·4 = 13.1 MB > 8 MB) → blocked kv, the known-good path
+    assert _choose_flash_blocks(5120, 5120, True) == (640, 1280)
+    # env-pinned blocked bq: same 8 MB rule (13.1 MB > 8 MB) → blocked kv
+    assert _choose_flash_blocks(2560, 2560, True, bq_env=1280) == (1280, 1280)
+    # env-pinned bq=sq still gets the whole-S full-KV tile
+    assert _choose_flash_blocks(2560, 2560, True, bq_env=2560) == (2560, 2560)
+    # env-pinned blocked bq whose tile fits 8 MB keeps full-KV
+    assert _choose_flash_blocks(2560, 2560, True, bq_env=640) == (640, 2560)
     # non-dividing env overrides are ignored
     assert _choose_flash_blocks(2560, 2560, True, bq_env=700) == (2560, 2560)
     # env-pinned bkv wins over full-KV
