@@ -37,6 +37,7 @@ replaces).
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import re
 import sys
@@ -259,7 +260,7 @@ def main():
     # per-device program is the same U-Net at 1/8 batch, so the sustained
     # efficiency carries over; the ICI term uses the partitioned module's
     # actual collective bytes. One FIFO iteration = one output frame.
-    import json
+
     compute_s = dev_flops / (args.mfu * args.peak_tflops * 1e12)
     ici_s = tot_bytes / (args.ici_gbyte_s * 1e9)
     projected = compute_s + ici_s
